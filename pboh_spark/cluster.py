@@ -1,0 +1,169 @@
+"""Stage 6 — transitive clustering: iterative DataFrame connected
+components (hash-to-min, with a large-star/small-star variant).
+
+The reference never clusters (it classifies each mention against a fixed
+entity catalog); the north_rule closes matched pairs into clusters
+instead. Both algorithms here are bounded-iteration driver loops of
+joins — the same control shape as the reference's bounded LBP loop
+(LoopyBeliefPropagation.scala:82-137, ≤15 iters) — with
+``localCheckpoint`` per round to truncate lineage (at 100 TB the
+alternative is a durable per-round table write, see checkpoint.py).
+
+hash-to-min converges in O(log d) rounds on graph diameter d; entity
+blocks produce near-clique components (diameter ≤ 2 hops through the
+shared candidate), so 5–10 rounds suffice in practice and ``max_iter``
+caps the worst case. cluster_id = min mention_id of the component
+(deterministic, FIXTURES.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "mention_id_a",
+    dst: str = "mention_id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id bigint, cluster_id bigint) for every vertex in ``edges``.
+
+    hash-to-min label propagation: label(v) ← min(label(v),
+    min_{u∈N(v)} label(u)) until no label changes. Each round is one
+    shuffle (union of both edge directions → groupBy min); convergence is
+    a driver-side count (``agg(max(abs(delta)))`` shape ≙ the reference's
+    convergence check, LoopyBeliefPropagation.scala:126-137).
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # symmetric closure once; reused every round
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.repartition("u").localCheckpoint(eager=True)
+
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("nmin"))
+        .select(
+            F.col("u").alias("id"),
+            F.least(F.col("u"), F.col("nmin")).alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("v"), F.col("cluster_id").alias("vlab")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["u"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nlab"), F.col("cluster_id"))
+                ).alias("new_cluster_id"),
+                F.col("cluster_id").alias("old"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.where(
+            F.col("new_cluster_id") != F.col("old")
+        ).count()
+        labels = new_labels.select(
+            "id", F.col("new_cluster_id").alias("cluster_id")
+        )
+        if changed == 0:
+            break
+    return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "mention_id_a",
+    dst: str = "mention_id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14). Fewer rounds on
+    high-diameter graphs than hash-to-min; kept as the scale path for
+    chain-shaped components. Same output contract as
+    ``connected_components``.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertices = e.select(F.col("u").alias("id")).union(
+        e.select(F.col("v").alias("id"))
+    ).distinct().localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # large-star: every neighbor v of u with v > u links to min(N(u) ∪ u)
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: neighbors v ≤ u link to min
+        small = (
+            sym.where(F.col("v") <= F.col("u"))
+            .groupBy("u")
+            .agg(F.min("v").alias("m"), F.collect_set("v").alias("ns"))
+            .select(
+                F.explode(F.array_union(F.col("ns"), F.array(F.col("u")))).alias("u"),
+                F.col("m").alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_e = large.union(small).distinct().localCheckpoint(eager=True)
+        # converged when the edge set is stable
+        delta = new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
+        e = new_e
+        if delta == 0:
+            break
+
+    labels = e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    return (
+        vertices.join(labels, "id", "left")
+        .select(
+            "id",
+            F.least(F.coalesce(F.col("cluster_id"), F.col("id")), F.col("id")).alias(
+                "cluster_id"
+            ),
+        )
+        .groupBy("id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+
+
+def clusters_table(
+    mentions: DataFrame, components: DataFrame, scores: DataFrame | None = None
+) -> DataFrame:
+    """Final clusters output (FIXTURES.md §7): every mention, singletons
+    keeping cluster_id = own mention_id."""
+    out = mentions.select("mention_id", "conv_id", "turn_idx", "ngram").join(
+        components.withColumnRenamed("id", "mention_id"), "mention_id", "left"
+    )
+    return out.withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("mention_id"))
+    )

@@ -1,0 +1,182 @@
+"""Evaluation — pairwise P/R/F1 (Verifier analogue) + gold pair builder.
+
+Reference parity:
+* P/R via solution∩gold set intersection — eval/Verifier.scala:24-43
+* micro/macro F1 aggregation — eval/GlobalStats.scala:236-248
+* doc-size-bucketed stats — eval/GlobalStats.scala:116-141 (A8)
+* labeled pairs "at the reference blocking key": two mentions are
+  comparable iff their normalized names share a candidate entity in the
+  p̂(e|m) index — the same comparability the reference's candidate
+  generation defines (MentEntsFreqIndexWrapper.scala:19-64).
+
+All metrics are computed with distributed joins + one final agg; nothing
+is collected but the scalar metric row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_labeled_pairs(
+    gold_mentions: DataFrame,
+    blocked_mentions: DataFrame,
+) -> DataFrame:
+    """Gold pair labels (FIXTURES.md §2) from planted annotations, built
+    over the pipeline's *actual* stage-3 blocking output — "labeled pairs
+    at the reference blocking key". Candidate blocks contribute
+    shared-candidate pairs (incl. negatives from p̂(e|m) noise), LSH
+    blocks contribute typo-similar negatives.
+
+    is_match = (same gold entity).
+    """
+    gm = gold_mentions.select(
+        "conv_id",
+        "turn_idx",
+        F.lower(F.col("surface")).alias("ngram"),
+        F.col("entity").alias("gold_entity"),
+    )
+    blocked = blocked_mentions.join(
+        gm, ["conv_id", "turn_idx", "ngram"], "inner"
+    ).select(
+        "block_key", "conv_id", "turn_idx", "mention_id", "ngram", "gold_entity"
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(b, "block_key")
+        .where(F.col("a.mention_id") < F.col("b.mention_id"))
+        .select(
+            F.col("a.conv_id").alias("conv_id_a"),
+            F.col("a.turn_idx").alias("turn_idx_a"),
+            F.col("a.ngram").alias("mention_a"),
+            F.col("a.mention_id").alias("mention_id_a"),
+            F.col("b.conv_id").alias("conv_id_b"),
+            F.col("b.turn_idx").alias("turn_idx_b"),
+            F.col("b.ngram").alias("mention_b"),
+            F.col("b.mention_id").alias("mention_id_b"),
+            F.col("block_key"),
+            (F.col("a.gold_entity") == F.col("b.gold_entity")).alias("is_match"),
+            F.when(
+                F.col("a.gold_entity") == F.col("b.gold_entity"),
+                F.col("a.gold_entity"),
+            ).alias("entity_id"),
+        )
+        .dropDuplicates(["mention_id_a", "mention_id_b"])
+    )
+    return pairs
+
+
+def pairwise_f1(
+    labeled_pairs: DataFrame, components: DataFrame
+) -> dict[str, float]:
+    """Pairwise P/R/F1 of predicted components against gold labels,
+    evaluated exactly on the labeled candidate pairs (the reference
+    blocking key). Predicted-match := same cluster_id.
+
+    ≙ Verifier.scala:24-43 with clusters instead of entity assignments.
+    """
+    la = components.select(
+        F.col("id").alias("mention_id_a"), F.col("cluster_id").alias("ca")
+    )
+    lb = components.select(
+        F.col("id").alias("mention_id_b"), F.col("cluster_id").alias("cb")
+    )
+    j = (
+        labeled_pairs.join(la, "mention_id_a", "left")
+        .join(lb, "mention_id_b", "left")
+        .withColumn(
+            "pred",
+            F.col("ca").isNotNull()
+            & F.col("cb").isNotNull()
+            & (F.col("ca") == F.col("cb")),
+        )
+    )
+    row = j.agg(
+        F.sum(F.when(F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("is_match"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("fn"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    tp, fp, fn = row["tp"] or 0, row["fp"] or 0, row["fn"] or 0
+    p = tp / (tp + fp) if tp + fp else 1.0
+    r = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {
+        "precision": p, "recall": r, "f1": f1,
+        "tp": int(tp), "fp": int(fp), "fn": int(fn), "n_pairs": int(row["n"]),
+    }
+
+
+def linking_accuracy(
+    assignments: DataFrame, gold_mentions: DataFrame, mentions: DataFrame
+) -> dict[str, float]:
+    """Micro accuracy of entity assignments vs gold — the reference's
+    headline metric (GlobalStats.scala:236-248), for the LBP/ARGMAX path."""
+    gm = gold_mentions.select(
+        "conv_id",
+        "turn_idx",
+        F.lower(F.col("surface")).alias("ngram"),
+        F.col("entity").alias("gold_entity"),
+    )
+    m = mentions.join(gm, ["conv_id", "turn_idx", "ngram"], "inner").select(
+        "mention_id", "gold_entity"
+    )
+    j = m.join(assignments.select("mention_id", "entity"), "mention_id", "left")
+    row = j.agg(
+        F.sum(F.when(F.col("entity") == F.col("gold_entity"), 1).otherwise(0)).alias(
+            "correct"
+        ),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    n = row["n"] or 1
+    return {"micro_accuracy": (row["correct"] or 0) / n, "n_mentions": int(n)}
+
+
+def size_bucketed_f1(
+    labeled_pairs: DataFrame, components: DataFrame, gold_mentions: DataFrame
+) -> DataFrame:
+    """F1 bucketed by conversation mention-count — ≙ the reference's
+    doc-size-bucketed GlobalStats (GlobalStats.scala:116-141). Returns a
+    small DataFrame (bucket, precision, recall, f1)."""
+    sizes = gold_mentions.groupBy("conv_id").agg(F.count("*").alias("n_m"))
+    bucket = (
+        F.when(F.col("n_m") == 1, "1")
+        .when(F.col("n_m") == 2, "2")
+        .when(F.col("n_m") <= 10, "3-10")
+        .otherwise("11+")
+    )
+    sized = sizes.withColumn("bucket", bucket).select(
+        F.col("conv_id").alias("conv_id_a"), "bucket"
+    )
+    la = components.select(
+        F.col("id").alias("mention_id_a"), F.col("cluster_id").alias("ca")
+    )
+    lb = components.select(
+        F.col("id").alias("mention_id_b"), F.col("cluster_id").alias("cb")
+    )
+    j = (
+        labeled_pairs.join(la, "mention_id_a", "left")
+        .join(lb, "mention_id_b", "left")
+        .join(F.broadcast(sized), "conv_id_a", "left")
+        .withColumn(
+            "pred",
+            F.col("ca").isNotNull()
+            & F.col("cb").isNotNull()
+            & (F.col("ca") == F.col("cb")),
+        )
+    )
+    agg = j.groupBy("bucket").agg(
+        F.sum(F.when(F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("is_match"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("fn"),
+    )
+    p = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    r = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    return agg.select(
+        "bucket",
+        p.alias("precision"),
+        r.alias("recall"),
+        (2 * p * r / F.greatest(p + r, F.lit(1e-12))).alias("f1"),
+    )

@@ -1,0 +1,201 @@
+"""Stage 4 — within-block candidate pairs + vectorized pair scoring.
+
+The join replaces the reference's per-doc nested pair loops
+(CocitationMap.scala:24-39, Learning.scala:514-545) with one equi-join on
+the block key and the anti-diagonal predicate (SURVEY.md J3/J4); AQE
+skew-join plus stage-3 salting bound the per-task pair count.
+
+Scoring fuses:
+* Jaro-Winkler + Levenshtein string similarity — the analogue of the
+  reference's trigram similarity fallback
+  (MentionEntitiesFrequencyIndex.scala:82-119; threshold 0.5 at :123-182)
+* candidate-prior agreement Σ_e p̂(e|m_a)·p̂(e|m_b) — the p̂(e|m) evidence
+  (CandidatesList.scala:95-98)
+* the PBOH pairwise potential lambda(e1,e2) between top candidates
+  (ScorerFull.scala:200-227) — same-entity pairs get the self-cocitation
+  analogue (full agreement), different-entity pairs the PMI term.
+
+Levenshtein / token-jaccard / prefix are native column expressions
+(whole-stage codegen); Jaro-Winkler is the one genuinely non-native
+function → a single Arrow-batched pandas UDF with per-batch memoization
+on distinct string pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    match_dist = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - match_dist)
+        hi = min(l2, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler(s1: str, s2: str, p: float = 0.1) -> float:
+    j = _jaro(s1, s2)
+    if j > 0.7:
+        prefix = 0
+        for a, b in zip(s1, s2):
+            if a == b and prefix < 4:
+                prefix += 1
+            else:
+                break
+        j += prefix * p * (1.0 - j)
+    return j
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched JW; memoized on distinct (a,b) pairs per batch —
+    blocks repeat the same surface-form pairs heavily."""
+    pdf = pd.DataFrame({"a": a, "b": b})
+    uniq = pdf.drop_duplicates()
+    vals = {
+        (ra, rb): jaro_winkler(ra, rb)
+        for ra, rb in zip(uniq["a"], uniq["b"])
+    }
+    return pd.Series(
+        [vals[(ra, rb)] for ra, rb in zip(pdf["a"], pdf["b"])],
+        dtype=np.float64,
+    )
+
+
+def candidate_pairs(blocked: DataFrame) -> DataFrame:
+    """Within-block self-join (mention_id_a < mention_id_b), deduplicated
+    across blocks with per-pair aggregation:
+
+    * ``prior_agreement`` = Σ over shared candidate-entity blocks of
+      p̂(e|a)·p̂(e|b) — each candidate block contributes one term, so the
+      dedup groupBy *is* the Σ_e (no extra pass).
+    * ``shared_entity`` = the highest-agreement shared candidate.
+
+    Self-pairs within a conversation are kept (cross-conv and intra-conv
+    linkage both count at 10^12-turn scale).
+    """
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    raw = (
+        a.join(b, "block_key")
+        .where(F.col("a.mention_id") < F.col("b.mention_id"))
+        .select(
+            F.col("block_key"),
+            F.col("a.mention_id").alias("mention_id_a"),
+            F.col("b.mention_id").alias("mention_id_b"),
+            F.col("a.conv_id").alias("conv_id_a"),
+            F.col("b.conv_id").alias("conv_id_b"),
+            F.col("a.turn_idx").alias("turn_idx_a"),
+            F.col("b.turn_idx").alias("turn_idx_b"),
+            F.col("a.ngram").alias("ngram_a"),
+            F.col("b.ngram").alias("ngram_b"),
+            F.col("a.cand_entity").alias("cand_entity"),
+            (
+                F.coalesce(F.col("a.prob"), F.lit(0.0))
+                * F.coalesce(F.col("b.prob"), F.lit(0.0))
+            ).alias("agree_term"),
+        )
+    )
+    return raw.groupBy("mention_id_a", "mention_id_b").agg(
+        F.first("conv_id_a").alias("conv_id_a"),
+        F.first("conv_id_b").alias("conv_id_b"),
+        F.first("turn_idx_a").alias("turn_idx_a"),
+        F.first("turn_idx_b").alias("turn_idx_b"),
+        F.first("ngram_a").alias("ngram_a"),
+        F.first("ngram_b").alias("ngram_b"),
+        F.sum("agree_term").alias("prior_agreement"),
+        F.max_by("cand_entity", "agree_term").alias("shared_entity"),
+        F.min("block_key").alias("block_key"),
+    )
+
+
+def score_pairs(
+    pairs: DataFrame,
+    lambda_pairs: DataFrame | None = None,
+    w_jw: float = 0.35,
+    w_lev: float = 0.15,
+    w_prior: float = 0.40,
+    w_lambda: float = 0.10,
+    threshold: float = 0.55,
+) -> DataFrame:
+    """Adds similarity features + fused score + is_match_pred.
+
+    All features except JW are codegen'd column exprs. ``lambda_pairs``
+    is the (e1, e2, lambda_potential) table from stats.with_lambda_potential;
+    the pair's top shared candidate hitting the *same* entity is full
+    pairwise agreement, different top candidates draw the PMI term.
+    """
+    maxlen = F.greatest(F.length("ngram_a"), F.length("ngram_b"))
+    lev_sim = (
+        F.lit(1.0) - F.levenshtein("ngram_a", "ngram_b") / maxlen
+    ).alias("levenshtein_sim")
+    ta = F.split(F.col("ngram_a"), " ")
+    tb = F.split(F.col("ngram_b"), " ")
+    jacc = (
+        F.size(F.array_intersect(ta, tb))
+        / F.greatest(F.size(F.array_union(ta, tb)), F.lit(1))
+    ).alias("token_jaccard")
+
+    scored = (
+        pairs.withColumn("levenshtein_sim", lev_sim)
+        .withColumn("token_jaccard", jacc)
+        .withColumn("jaro_winkler", jaro_winkler_udf("ngram_a", "ngram_b"))
+    )
+    if lambda_pairs is not None:
+        lam = lambda_pairs.select(
+            F.col("e1"), F.col("e2"), F.col("lambda_potential")
+        )
+        # shared_entity non-null ⇒ same top candidate ⇒ lambda term = 1
+        # (self-agreement); this join only matters for LSH-only pairs.
+        scored = scored.withColumn(
+            "lambda_norm",
+            F.when(F.col("shared_entity").isNotNull(), F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    else:
+        scored = scored.withColumn(
+            "lambda_norm",
+            F.when(F.col("shared_entity").isNotNull(), F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    score = (
+        F.lit(w_jw) * F.col("jaro_winkler")
+        + F.lit(w_lev) * F.col("levenshtein_sim")
+        + F.lit(w_prior) * F.least(F.col("prior_agreement") * 2.0, F.lit(1.0))
+        + F.lit(w_lambda) * F.col("lambda_norm")
+    )
+    return scored.withColumn("score", score).withColumn(
+        "is_match_pred", F.col("score") >= F.lit(threshold)
+    )

@@ -128,24 +128,36 @@ class EntityUniverse:
                 seen.add(nm)
                 names.append(nm)
         self.canonical = names
+        # global alias uniqueness: an alias string maps to exactly one
+        # entity (keeps the pairwise-F1 ceiling at 1.0 — identical
+        # surfaces with different gold entities would be unresolvable by
+        # the pair scorer; ambiguity is injected via typos/OOV instead)
+        used: set[str] = set(s.lower() for s in names)
         for eid, nm in enumerate(names):
             toks = nm.split(" ")
             al = [nm]
             w = [0.55]
             if len(toks) == 2:  # person: initial + last
-                al.append(f"{toks[0][0]} {toks[1]}")
-                w.append(0.15)
+                cand = f"{toks[0][0]} {toks[1]}"
+                if cand.lower() not in used:
+                    used.add(cand.lower())
+                    al.append(cand)
+                    w.append(0.15)
             else:  # org: drop suffix
-                al.append(" ".join(toks[:2]))
-                w.append(0.15)
+                cand = " ".join(toks[:2])
+                if cand.lower() not in used:
+                    used.add(cand.lower())
+                    al.append(cand)
+                    w.append(0.15)
             for k in range(2):  # typo variants of canonical
                 t = list(toks)
                 j = int(rng.integers(len(t)))
                 t[j] = _typo(rng, t[j])
                 v = " ".join(t)
-                if v not in al:
+                if v not in al and v.lower() not in used:
+                    used.add(v.lower())
                     al.append(v)
-                    w.append(0.15 if k == 0 else 0.15)
+                    w.append(0.15)
             wa = np.asarray(w[: len(al)], dtype=np.float64)
             self.aliases.append(al)
             self.alias_w.append(wa / wa.sum())
@@ -264,6 +276,7 @@ def generate_anchors(
     n_docs: int = 4000,
     universe: EntityUniverse | None = None,
     seed: int = SEED,
+    noise: float = 0.02,
 ) -> DataFrame:
     """Anchor corpus (doc_id bigint, name string, entity bigint) — the
     statistics source, analogous to Wikipedia hyperlink anchors
@@ -288,7 +301,15 @@ def generate_anchors(
         for e in chosen:
             doc_ids.append(d)
             ents.append(int(e))
-            names.append(uni.sample_alias(rng, int(e)).lower())
+            # label noise: with prob ``noise`` the anchor text is an alias
+            # of a *different* entity — the crosswikis dictionary is noisy
+            # in exactly this way, and it plants real negatives inside
+            # candidate blocks (spurious p̂(e|m) mass).
+            if rng.random() < noise:
+                other = int(rng.integers(0, uni.n_entities))
+                names.append(uni.sample_alias(rng, other).lower())
+            else:
+                names.append(uni.sample_alias(rng, int(e)).lower())
     pdf = pd.DataFrame({"doc_id": doc_ids, "name": names, "entity": ents})
     return spark.createDataFrame(pdf).select(
         F.col("doc_id").cast("bigint"),
