@@ -73,7 +73,9 @@ def entity_stats(anchors: DataFrame) -> DataFrame:
     popularity(e) = Σ_docs containing e: (N_d − 1) summed per occurrence —
     ≙ EntityCooccurrenceIndex.scala:158-166 (each link in a doc of N links
     contributes N−1 pair-endpoints). self_cocit ≙ :146-154.
-    log_phat = log(popularity / Σ popularity) — ScorerFull.scala:183-186.
+    ``log_pop`` = log of the UNNORMALIZED popularity — the reference's
+    lambda takes Math.log(p_hat(e)) on raw counts (ScorerFull.scala:183-186,
+    :224-226), so we mirror that exactly.
     """
     doc_sizes = anchors.groupBy("doc_id").agg(F.count("*").alias("n_d"))
     per_doc_ent = anchors.groupBy("doc_id", "entity").agg(
@@ -86,9 +88,8 @@ def entity_stats(anchors: DataFrame) -> DataFrame:
             F.when(F.col("c") >= 2, F.col("c") * (F.col("c") - 1)).otherwise(0)
         ).alias("self_cocit"),
     )
-    total = stats.agg(F.sum("popularity")).collect()[0][0] or 1
     return stats.withColumn(
-        "log_phat", F.log(F.col("popularity") / F.lit(float(total)))
+        "log_pop", F.log(F.greatest(F.col("popularity"), F.lit(1)).cast("double"))
     )
 
 
@@ -101,7 +102,23 @@ def corpus_scalars(anchors: DataFrame) -> dict[str, int]:
         F.sum("n_d").alias("links"),
         F.sum(F.col("n_d") * (F.col("n_d") - 1)).alias("pairs"),
     ).collect()[0]
-    return {"num_total_links": int(row["links"]), "num_total_pairs": int(row["pairs"])}
+    # distinct entity pairs (A7) — the reference ran a dedicated 112-core
+    # Spark job for this count (EntityCooccurrenceIndex.scala:56-106);
+    # here: one distinct+count over the (doc,entity) self-join.
+    de = anchors.select("doc_id", "entity").distinct()
+    n_dist = (
+        de.alias("a")
+        .join(de.alias("b"), "doc_id")
+        .where(F.col("a.entity") < F.col("b.entity"))
+        .select("a.entity", "b.entity")
+        .distinct()
+        .count()
+    )
+    return {
+        "num_total_links": int(row["links"]),
+        "num_total_pairs": int(row["pairs"]),
+        "num_distinct_pairs": int(n_dist),
+    }
 
 
 def cooccurrence(anchors: DataFrame, min_cocit: int = 1) -> DataFrame:
@@ -132,37 +149,57 @@ def with_lambda_potential(
     scalars: dict[str, int],
     w: ScorerWeights | None = None,
 ) -> DataFrame:
-    """Adds ``lambda_potential`` to an (e1, e2, cocit) table.
+    """Adds ``lambda_potential`` to an (e1, e2, cocit) table — the exact
+    reference formula (ScorerFull.scala:207-227):
 
-    lambda(e1,e2) = log((max(cocit−δ,0)+c_param)/num_pairs)
-                    − h·log p̂(e1) − h·log p̂(e2), with a −1000 floor for
-    never-cocited pairs — ScorerFull.scala:200-227 (incl. the :225 floor).
+        smoothed = max(0, cocit − δ)
+                   + (N − δ·D)/N · p̂(e1)·p̂(e2)/N      # independence backoff
+        lambda   = log(smoothed) − h·log p̂(e1) − h·log p̂(e2)
+        (−1000 floor only if smoothed ≤ 0 — :225)
+
+    with N = num_total_pairs, D = num_distinct_pairs, p̂ the UNNORMALIZED
+    popularity. The backoff means never-cocited pairs degrade to the
+    independence prior, not to the floor — pairs absent from this table
+    get the same closed-form default inside the LBP kernel
+    (resolve._solve_conv), so only cocit>0 rows are materialized.
+    Diagonal (e,e) rows are emitted from self-cocitation
+    (EntityCooccurrenceIndex.scala:146-154,173-181).
     Pure column arithmetic; ent_stats joins broadcast (small dim).
     """
     w = w or ScorerWeights()
     n_pairs = float(max(scalars.get("num_total_pairs", 1), 1))
+    n_dist = float(max(scalars.get("num_distinct_pairs", 1), 1))
+    backoff = max(n_pairs - w.delta_cocit * n_dist, 1e-9) / n_pairs
+    diag = ent_stats.select(
+        F.col("entity").alias("e1"),
+        F.col("entity").alias("e2"),
+        F.col("self_cocit").cast("long").alias("cocit"),
+    )
+    pairs = pairs.select("e1", "e2", "cocit").unionByName(diag)
     e1s = ent_stats.select(
-        F.col("entity").alias("e1"), F.col("log_phat").alias("log_phat1")
+        F.col("entity").alias("e1"),
+        F.col("popularity").alias("pop1"),
+        F.col("log_pop").alias("log_pop1"),
     )
     e2s = ent_stats.select(
-        F.col("entity").alias("e2"), F.col("log_phat").alias("log_phat2")
+        F.col("entity").alias("e2"),
+        F.col("popularity").alias("pop2"),
+        F.col("log_pop").alias("log_pop2"),
     )
     out = pairs.join(F.broadcast(e1s), "e1", "left").join(
         F.broadcast(e2s), "e2", "left"
     )
-    cocit_term = F.when(
-        F.col("cocit") > 0,
-        F.log(
-            (
-                F.greatest(F.col("cocit") - F.lit(w.delta_cocit), F.lit(0.0))
-                + F.lit(w.cocit_e_e_param)
-            )
-            / F.lit(n_pairs)
-        ),
-    ).otherwise(F.lit(-1000.0))
+    smoothed = F.greatest(
+        F.col("cocit") - F.lit(w.delta_cocit), F.lit(0.0)
+    ) + (
+        F.lit(backoff)
+        * F.coalesce(F.col("pop1"), F.lit(1.0))
+        * F.coalesce(F.col("pop2"), F.lit(1.0))
+        / F.lit(n_pairs)
+    )
     return out.withColumn(
         "lambda_potential",
-        cocit_term
-        - F.lit(w.h) * F.coalesce(F.col("log_phat1"), F.lit(0.0))
-        - F.lit(w.h) * F.coalesce(F.col("log_phat2"), F.lit(0.0)),
+        F.when(smoothed > 0, F.log(smoothed)).otherwise(F.lit(-1000.0))
+        - F.lit(w.h) * F.coalesce(F.col("log_pop1"), F.lit(0.0))
+        - F.lit(w.h) * F.coalesce(F.col("log_pop2"), F.lit(0.0)),
     ).select("e1", "e2", "cocit", "lambda_potential")
