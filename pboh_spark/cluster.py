@@ -30,11 +30,14 @@ def connected_components(
 ) -> DataFrame:
     """(id bigint, cluster_id bigint) for every vertex in ``edges``.
 
-    hash-to-min label propagation: label(v) ← min(label(v),
-    min_{u∈N(v)} label(u)) until no label changes. Each round is one
-    shuffle (union of both edge directions → groupBy min); convergence is
-    a driver-side count (``agg(max(abs(delta)))`` shape ≙ the reference's
-    convergence check, LoopyBeliefPropagation.scala:126-137).
+    hash-to-min label propagation **with pointer jumping**: each round
+    (a) label(v) ← min(label(v), min_{u∈N(v)} label(u)) — one shuffle over
+    the symmetric edge list — then (b) label(v) ← label(label(v)) — one
+    self-join on the label table. The jump doubles propagation distance
+    per round, so convergence is O(log diameter), not O(diameter)
+    (a 300-node chain closes in ~9 rounds; plain propagation needs 300).
+    Convergence is a driver-side changed-count (the same bounded-loop
+    shape as the reference's LBP, LoopyBeliefPropagation.scala:126-137).
     """
     spark = edges.sparkSession
     e = (
@@ -66,14 +69,25 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("vlab").alias("nlab"))
         )
+        stepped = labels.join(neigh, labels["id"] == neigh["u"], "left").select(
+            F.col("id"),
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nlab"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+            F.col("cluster_id").alias("old"),
+        )
+        # pointer jump: label(v) ← label(label(v))
+        parent = stepped.select(
+            F.col("id").alias("cluster_id"), F.col("cluster_id").alias("plab")
+        )
         new_labels = (
-            labels.join(neigh, labels["id"] == neigh["u"], "left")
+            stepped.join(parent, "cluster_id", "left")
             .select(
-                F.col("id"),
+                "id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nlab"), F.col("cluster_id"))
+                    F.col("cluster_id"), F.coalesce(F.col("plab"), F.col("cluster_id"))
                 ).alias("new_cluster_id"),
-                F.col("cluster_id").alias("old"),
+                "old",
             )
             .localCheckpoint(eager=True)
         )

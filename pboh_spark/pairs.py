@@ -146,7 +146,7 @@ def score_pairs(
     w_lev: float = 0.15,
     w_prior: float = 0.40,
     w_lambda: float = 0.10,
-    threshold: float = 0.55,
+    threshold: float = 0.65,
 ) -> DataFrame:
     """Adds similarity features + fused score + is_match_pred.
 
@@ -171,25 +171,17 @@ def score_pairs(
         .withColumn("token_jaccard", jacc)
         .withColumn("jaro_winkler", jaro_winkler_udf("ngram_a", "ngram_b"))
     )
-    if lambda_pairs is not None:
-        lam = lambda_pairs.select(
-            F.col("e1"), F.col("e2"), F.col("lambda_potential")
-        )
-        # shared_entity non-null ⇒ same top candidate ⇒ lambda term = 1
-        # (self-agreement); this join only matters for LSH-only pairs.
-        scored = scored.withColumn(
-            "lambda_norm",
-            F.when(F.col("shared_entity").isNotNull(), F.lit(1.0)).otherwise(
-                F.lit(0.0)
-            ),
-        )
-    else:
-        scored = scored.withColumn(
-            "lambda_norm",
-            F.when(F.col("shared_entity").isNotNull(), F.lit(1.0)).otherwise(
-                F.lit(0.0)
-            ),
-        )
+    # pairwise-potential term: a shared candidate entity is evidence of
+    # compatibility in proportion to its posterior mass on both sides —
+    # the self-cocitation analogue of lambda(e,e) (ScorerFull.scala:207-227);
+    # a weak (noise-driven) shared candidate must not earn the full bonus.
+    scored = scored.withColumn(
+        "lambda_norm",
+        F.when(
+            F.col("shared_entity").isNotNull(),
+            F.least(F.col("prior_agreement") * 4.0, F.lit(1.0)),
+        ).otherwise(F.lit(0.0)),
+    )
     score = (
         F.lit(w_jw) * F.col("jaro_winkler")
         + F.lit(w_lev) * F.col("levenshtein_sim")

@@ -1,0 +1,86 @@
+"""Stage 3: blocking recall on planted pairs, minhash properties, salting."""
+
+from pyspark.sql import functions as F
+
+from pboh_spark import blocking, normalize, stats
+from pboh_spark.pairs import jaro_winkler
+
+
+def test_candidate_blocking_recall(tiny, anchors):
+    """Every gold same-entity mention pair must share ≥1 candidate block —
+    blocking recall ≥ 0.99 (north_rule F1 budget is spent here first)."""
+    t, g = tiny
+    ns = stats.name_stats(anchors)
+    m = normalize.extract_mentions(t)
+    gm = g.select(
+        "conv_id", "turn_idx",
+        F.lower(F.col("surface")).alias("ngram"),
+        F.col("entity").alias("gold"),
+    )
+    mm = m.join(gm, ["conv_id", "turn_idx", "ngram"])
+    blocked = blocking.candidate_blocks(mm, ns)
+    keys = blocked.select("mention_id", "block_key")
+    gold_pairs = (
+        mm.alias("a")
+        .join(mm.alias("b"), F.col("a.gold") == F.col("b.gold"))
+        .where(F.col("a.mention_id") < F.col("b.mention_id"))
+        .select(
+            F.col("a.mention_id").alias("ma"), F.col("b.mention_id").alias("mb")
+        )
+    )
+    covered = (
+        gold_pairs.join(keys.withColumnRenamed("mention_id", "ma"), "ma")
+        .join(
+            keys.withColumnRenamed("mention_id", "mb").withColumnRenamed(
+                "block_key", "bk2"
+            ),
+            "mb",
+        )
+        .where(F.col("block_key") == F.col("bk2"))
+        .select("ma", "mb")
+        .distinct()
+    )
+    n_gold = gold_pairs.count()
+    n_cov = covered.count()
+    assert n_cov / n_gold >= 0.99, f"blocking recall {n_cov}/{n_gold}"
+
+
+def test_minhash_similar_names_collide(spark):
+    """Typo'd names should share an LSH band; unrelated names shouldn't
+    (statistically)."""
+    names = [
+        ("quantum analytics corp",), ("quantum analytcs corp",),
+        ("walter schneider",), ("bruno fontaine",),
+    ]
+    df = spark.createDataFrame(names, ["ngram"]).select(
+        F.lit("c0").alias("conv_id"), F.lit(0).alias("turn_idx"),
+        F.monotonically_increasing_id().alias("mention_id"), "ngram",
+    )
+    b = blocking.minhash_blocks(df, None, oov_only=False)
+    keys = {r["ngram"]: set() for r in b.collect()}
+    for r in b.collect():
+        keys[r["ngram"]].add(r["block_key"])
+    assert keys["quantum analytics corp"] & keys["quantum analytcs corp"]
+    assert not (keys["walter schneider"] & keys["bruno fontaine"])
+
+
+def test_salt_and_cap_bounds_block_size(spark):
+    import pandas as pd
+    rows = [("hot", "c0", 0, i, f"name{i}", None, None) for i in range(1000)]
+    rows += [("cold", "c0", 0, 10_000 + i, f"n{i}", None, None) for i in range(5)]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "block_key", "conv_id", "turn_idx", "mention_id",
+                "ngram", "cand_entity", "prob",
+            ],
+        )
+    )
+    salted, metrics = blocking.salt_and_cap(df, cap=100)
+    sizes = salted.groupBy("block_key").count().toPandas()
+    assert sizes["count"].max() <= 150  # ~cap with hash-split variance
+    m = metrics.collect()[0]
+    assert m["n_blocks_salted"] == 1
+    # cold block untouched
+    assert salted.where(F.col("block_key") == "cold").count() == 5

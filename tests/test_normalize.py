@@ -1,0 +1,45 @@
+"""Stage 1: per-turn text equality invariant + extraction fidelity."""
+
+from pyspark.sql import functions as F
+
+from pboh_spark import normalize
+
+
+def test_text_equality_invariant(tiny):
+    """BASELINE.json input_hint: per-turn text equality under stable
+    (conv_id, turn_idx) ordering."""
+    t, _ = tiny
+    out = normalize.normalize_turns(t)
+    assert normalize.verify_text_equality(t, out) == 0
+
+
+def test_extraction_matches_gold(tiny):
+    t, g = tiny
+    m = normalize.extract_mentions(t)
+    g2 = g.select("conv_id", "turn_idx", F.col("surface").alias("gs"))
+    m2 = m.select("conv_id", "turn_idx", F.col("surface").alias("ms"))
+    assert g2.join(m2, ["conv_id", "turn_idx"], "left_anti").count() == 0
+    assert m2.join(g2, ["conv_id", "turn_idx"], "left_anti").count() == 0
+    assert (
+        g2.join(m2, ["conv_id", "turn_idx"])
+        .where(F.col("gs") != F.col("ms"))
+        .count()
+        == 0
+    )
+
+
+def test_ngram_is_lowercase(tiny):
+    """Normalization = toLowerCase only (Normalizer.scala:9-11)."""
+    t, _ = tiny
+    m = normalize.extract_mentions(t)
+    assert m.where(F.col("ngram") != F.lower(F.col("surface"))).count() == 0
+
+
+def test_mention_ids_unique_and_deterministic(spark, tiny, universe):
+    t, _ = tiny
+    m = normalize.extract_mentions(t)
+    n = m.count()
+    assert m.select("mention_id").distinct().count() == n
+    # deterministic under re-extraction with different partitioning
+    m2 = normalize.extract_mentions(t.repartition(13))
+    assert m.select("mention_id").exceptAll(m2.select("mention_id")).count() == 0

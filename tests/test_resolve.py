@@ -1,0 +1,159 @@
+"""Stage 5: LBP kernel vs brute-force enumeration (FIXTURES.md §8)."""
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pboh_spark import resolve
+from pboh_spark.resolve import LAMBDA_FLOOR, _pack, _solve_conv
+from pboh_spark.stats import ScorerWeights
+
+W = ScorerWeights()
+
+
+def brute_force(ents, rho, lam_map, w):
+    L, K = ents.shape
+    valid = ents >= 0
+    pair_w = w.g * 2.0 / (L - 1) if L > 1 else 0.0
+    best, bestv = None, -np.inf
+    for assign in itertools.product(
+        *[range(int(valid[i].sum())) for i in range(L)]
+    ):
+        v = sum(w.f * rho[i, assign[i]] for i in range(L))
+        for i in range(L):
+            for j in range(i + 1, L):
+                key = int(
+                    _pack(
+                        np.array([ents[i, assign[i]]]),
+                        np.array([ents[j, assign[j]]]),
+                    )[0]
+                )
+                v += pair_w * lam_map.get(key, LAMBDA_FLOOR)
+        if v > bestv + 1e-12:
+            bestv, best = v, assign
+    return np.array(best)
+
+
+def _rand_instance(rng, L, K):
+    ents = np.sort(rng.choice(30, size=(L, K)), axis=1).astype(np.int64)
+    for i in range(L):
+        u = np.unique(ents[i])
+        row = np.full(K, -1, np.int64)
+        row[: len(u)] = u
+        ents[i] = row
+    valid = ents >= 0
+    rho = np.where(valid, rng.normal(0, 1, (L, K)), -1e30)
+    lam_map = {}
+    for a, b in itertools.combinations(np.unique(ents[ents >= 0]), 2):
+        if rng.random() < 0.7:
+            lam_map[int(_pack(np.array([a]), np.array([b]))[0])] = float(
+                rng.normal(-3, 2)
+            )
+    return ents, rho, lam_map
+
+
+def test_exact_on_trees():
+    """L=2 graphs are trees ⇒ max-product BP is exact."""
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        ents, rho, lam_map = _rand_instance(rng, 2, int(rng.integers(2, 4)))
+        best, _, _, _ = _solve_conv(ents, rho, lam_map, W, True)
+        assert tuple(best) == tuple(brute_force(ents, rho, lam_map, W))
+
+
+def test_loopy_agreement_high():
+    """On small loopy graphs max-product matches MAP ≥90% (it is an
+    approximation — the reference has the same property)."""
+    rng = np.random.default_rng(11)
+    agree = total = 0
+    for _ in range(40):
+        L = int(rng.integers(3, 5))
+        ents, rho, lam_map = _rand_instance(rng, L, int(rng.integers(1, 4)))
+        best, _, _, _ = _solve_conv(ents, rho, lam_map, W, True)
+        bb = brute_force(ents, rho, lam_map, W)
+        total += L
+        agree += int((best == bb).sum())
+    assert agree / total >= 0.9
+
+
+def test_iteration_bound_and_eps():
+    """≤15 iterations (VerifyEDLBPForListOfWords.scala:35); converged flag
+    honest."""
+    rng = np.random.default_rng(3)
+    ents, rho, lam_map = _rand_instance(rng, 4, 3)
+    _, _, iters, _ = _solve_conv(ents, rho, lam_map, W, True)
+    assert 1 <= iters <= 15
+
+
+def test_sum_product_probabilities():
+    rng = np.random.default_rng(5)
+    ents, rho, lam_map = _rand_instance(rng, 3, 3)
+    _, score, _, _ = _solve_conv(ents, rho, lam_map, W, False)
+    assert ((score >= 0) & (score <= 1)).all()
+
+
+def test_pairwise_term_flips_decision():
+    """The LBP pairwise term must be able to override the prior — a
+    mention with a weak-prior candidate strongly co-cited with a
+    neighbor's certain entity flips to it (the PBOH value proposition)."""
+    # mention 0: certain entity 1. mention 1: prior prefers 3, but 2 is
+    # strongly co-cited with 1 while 3 is anti-correlated.
+    ents = np.array([[1, -1], [2, 3]], dtype=np.int64)
+    rho = np.array([[0.0, -1e30], [np.log(0.4), np.log(0.6)]])
+    lam_map = {
+        int(_pack(np.array([1]), np.array([2]))[0]): 5.0,
+        int(_pack(np.array([1]), np.array([3]))[0]): -5.0,
+    }
+    best, _, _, _ = _solve_conv(ents, rho, lam_map, W, True)
+    assert ents[1, best[1]] == 2
+    # ARGMAX (prior-only) would pick 3 — LBP beats the baseline here
+
+
+def test_resolve_dataframe_roundtrip(spark):
+    """End-to-end resolve_entities over DataFrames, incl. tie-break
+    determinism (lowest entity id on equal beliefs)."""
+    import pandas as pd
+    cand = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c0"] * 4,
+                "mention_id": [1, 1, 2, 2],
+                "entity": [7, 9, 7, 9],
+                "rho": [np.log(0.5)] * 4,
+                "log_pop": [1.0] * 4,
+            }
+        )
+    )
+    lam = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["c0"], "e1": [7], "e2": [9],
+                      "lambda_potential": [0.0]})
+    )
+    out = resolve.resolve_entities(cand, lam, scalars={"num_total_pairs": 100,
+                                                       "num_distinct_pairs": 10})
+    rows = {r["mention_id"]: r for r in out.collect()}
+    assert rows[1]["entity"] == rows[2]["entity"]  # agreement
+    # deterministic: re-run gives identical assignment
+    out2 = resolve.resolve_entities(cand, lam, scalars={"num_total_pairs": 100,
+                                                        "num_distinct_pairs": 10})
+    assert {(r["mention_id"], r["entity"]) for r in out2.collect()} == {
+        (r["mention_id"], r["entity"]) for r in out.collect()
+    }
+
+
+def test_argmax_baseline(spark):
+    import pandas as pd
+    cand = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c0"] * 3,
+                "mention_id": [1, 1, 1],
+                "entity": [5, 6, 7],
+                "rho": [np.log(0.2), np.log(0.5), np.log(0.3)],
+                "log_pop": [1.0] * 3,
+            }
+        )
+    )
+    rows = resolve.resolve_argmax(cand).collect()
+    assert rows[0]["entity"] == 6
