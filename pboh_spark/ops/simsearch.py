@@ -1,0 +1,206 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk_bruteforce`` — exact top-k by cosine: cross/self join +
+  JVM-side dot products (F.zip_with/aggregate — no Python). The baseline
+  and the small-query-set path (queries broadcast, so the 'cross' join
+  is a broadcast nested loop: scan-speed, no shuffle of the corpus).
+* ``lsh_topk`` — the scale path: random-hyperplane (sign) LSH buckets;
+  candidates only within matching buckets, then exact re-rank. At 100 TB
+  the corpus is hashed once (linear scan), the join is bucket-equi, and
+  recall is tunable with n_tables × n_bits.
+* ``ivf_topk`` — IVF-style: k seeded centroids (deterministic corpus
+  sample), every vector assigned to nearest centroid (one broadcast
+  join), queries probe the ``n_probe`` nearest centroids only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    """cosine(a,b) as a pure column expression (whole-stage codegen)."""
+    ca, cb = F.col(a).cast("array<double>"), F.col(b).cast("array<double>")
+    return df.withColumn(
+        out, _dot(ca, cb) / (_norm(ca) * _norm(cb))
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, cosine,
+    rank). ``queries`` must be small (broadcast side)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    joined = c.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = with_cosine(joined, "qv", "cv").select(
+        "query_id", "neighbor_id", "cosine"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signatures(
+    vectors: DataFrame,
+    dim: int,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, sig) — sign-LSH: sig bit i = [v·r_i > 0] for seeded
+    gaussian hyperplanes. Column-expression dot products per plane (the
+    plane constants fold into the plan; no UDF)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, n_bits, dim))
+    outs = []
+    v = F.col(vec_col).cast("array<double>")
+    for t in range(n_tables):
+        sig = F.lit(0).cast("bigint")
+        for i in range(n_bits):
+            r = F.array(*[F.lit(float(x)) for x in planes[t, i]])
+            bit = (_dot(v, r) > 0).cast("bigint")
+            sig = sig + F.shiftleft(bit, i)
+        outs.append(
+            vectors.select(
+                F.col(id_col).alias("vid"),
+                F.lit(t).alias("table"),
+                sig.alias("sig"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 4,
+    n_tables: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket-join on (table, sig) then exact re-rank
+    of candidates. Pair space ≈ Σ bucket² instead of |corpus|·|queries|."""
+    cs = hyperplane_signatures(corpus, dim, n_bits, n_tables, seed, id_col, vec_col)
+    qs = hyperplane_signatures(queries, dim, n_bits, n_tables, seed, id_col, vec_col)
+    cand = (
+        cs.join(
+            qs.withColumnRenamed("vid", "query_id"), ["table", "sig"]
+        )
+        .where(F.col("vid") != F.col("query_id"))
+        .select(F.col("query_id"), F.col("vid").alias("neighbor_id"))
+        .distinct()
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = with_cosine(
+        cand.join(cvec, "neighbor_id").join(F.broadcast(qvec), "query_id"),
+        "qv",
+        "cv",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF: centroids = deterministic corpus sample (vec_id hash order);
+    assignment + probing are broadcast joins; re-rank exact."""
+    cents = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(F.md5(F.concat(F.col("cid").cast("string"), F.lit(str(seed)))))
+        .limit(n_cells)
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    assigned = with_cosine(
+        c.crossJoin(F.broadcast(cents)), "cv", "cvec", "ccos"
+    )
+    w = Window.partitionBy("neighbor_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    cell_of = (
+        assigned.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("neighbor_id", "cid", "cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qprobe = with_cosine(
+        q.crossJoin(F.broadcast(cents)), "qv", "cvec", "qcos"
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cid"))
+    probes = (
+        qprobe.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= n_probe)
+        .select("query_id", "cid", "qv")
+    )
+    cand = probes.join(cell_of, "cid").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = with_cosine(cand, "qv", "cv")
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+    )

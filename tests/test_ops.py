@@ -1,0 +1,157 @@
+"""Training-data ops: dedup / similarity search / text stats / multimodal
+— exercised on the driver-provided testdata (read-only)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pboh_spark.ops import dedup, multimodal, simsearch, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_finds_planted_dups(spark, docs):
+    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    d = dedup.exact_dedup(docs.unionByName(dup))
+    assert d.where("is_dup").count() == 3
+    # canonical is the min doc_id of each content group
+    assert d.where("is_dup").where(F.col("canonical_id") >= 1_000_000).count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    """A doc with one word changed must still pair with the original."""
+    mutated = docs.limit(5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(mutated)
+    pairs = dedup.minhash_lsh_pairs(both)
+    hits = pairs.where(
+        (F.col("doc_id_b") - F.col("doc_id_a")) == 1_000_000
+    ).count()
+    assert hits >= 4  # ≥80% of the planted near-dups caught
+
+
+def test_ngram_jaccard_oracle(spark):
+    import pandas as pd
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["a b c d e", "a b c d x"],
+            }
+        )
+    )
+    rows = dedup.ngram_jaccard_pairs(d, k=3, min_jaccard=0.0).collect()
+    # shingles: {abc,bcd,cde} vs {abc,bcd,cdx} → |∩|=2, |∪|=4
+    assert len(rows) == 1
+    assert abs(rows[0]["jaccard"] - 0.5) < 1e-9
+
+
+def test_simhash_near_dup_low_hamming(spark, docs):
+    base = docs.limit(1).select("doc_id", "text")
+    mut = base.select(
+        (F.col("doc_id") + 77).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    other = docs.where("doc_id = 42").select("doc_id", "text")
+    sh = {r["doc_id"]: r["simhash"]
+          for r in dedup.simhash(base.unionByName(mut).unionByName(other)).collect()}
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+    base_id = min(i for i in sh if i < 42)
+    assert ham(sh[base_id], sh[base_id + 77]) < ham(sh[base_id], sh[42])
+
+
+def test_bruteforce_topk_vs_numpy(spark, emb):
+    q = emb.limit(3)
+    got = simsearch.cosine_topk_bruteforce(emb, q, k=5).toPandas()
+    E = np.array(emb.orderBy("vec_id").select("embedding").toPandas()["embedding"].tolist())
+    ids = emb.orderBy("vec_id").select("vec_id").toPandas()["vec_id"].to_numpy()
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    for qid in got["query_id"].unique():
+        qi = np.where(ids == qid)[0][0]
+        sims = En @ En[qi]
+        sims[qi] = -np.inf
+        top = ids[np.argsort(-sims)[:5]]
+        mine = got[got["query_id"] == qid].sort_values("rank")["neighbor_id"].to_numpy()
+        assert set(top) == set(mine)
+
+
+def test_lsh_recall(spark, emb):
+    q = emb.limit(10)
+    bf = simsearch.cosine_topk_bruteforce(emb, q, k=5)
+    dim = len(emb.first()["embedding"])
+    lsh = simsearch.lsh_topk(emb, q, dim=dim, k=5)
+    inter = bf.select("query_id", "neighbor_id").join(
+        lsh.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    assert inter.count() / bf.count() >= 0.5  # uniform-random worst case
+
+
+def test_token_count_oracle(spark):
+    import pandas as pd
+    d = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["Hello, world! a b"]})
+    )
+    r = textstats.token_count(d).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["n_subwords"] == 6  # hello world a b + , !
+
+
+def test_language_id(spark):
+    import pandas as pd
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the cat and the dog of this house",
+                    "der hund und die katze ist nicht da",
+                    "zzz qqq xxx",
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in textstats.language_id(d).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprint_order_sensitive(spark):
+    import pandas as pd
+    d = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "c b a"]})
+    )
+    fps = [r["fp64"] for r in textstats.fingerprint(d).collect()]
+    assert fps[0] != fps[1]
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, 30)
+    feats = multimodal.extract_features(media)
+    assert feats.count() == 30
+    row = feats.first()
+    assert len(row["features"]) == multimodal.FEATURE_DIM
+    # deterministic across re-runs / partitioning
+    f2 = multimodal.extract_features(media.repartition(7))
+    a = {r["media_id"]: tuple(r["features"]) for r in feats.collect()}
+    b = {r["media_id"]: tuple(r["features"]) for r in f2.collect()}
+    assert a == b
+    # strict mode marks the unimplemented codec
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        multimodal.extract_features(media, strict=True).count()
+    assert multimodal.resize_images(media).count() == media.where(
+        "kind = 'image'"
+    ).count()
+    fr = multimodal.sample_frames(media, every_n=10)
+    assert fr.count() > 0
