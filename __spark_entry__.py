@@ -1,38 +1,1171 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (relational primitives, PBOH statistics, blocking/pair
+scoring, connected components, dedup ladder, text analysis, ANN) and
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one. The handful of genuinely non-SQL ops (LBP
+max-product resolution, synthetic-pipeline end-to-end, sign-LSH ANN
+with numpy-generated hyperplanes) are rows-only by design.
+
+Column-name / value parity rules used throughout:
+* every computed column aliased identically on both sides
+* doubles rounded to 4 decimals on BOTH sides (fp-order tolerance)
+* DuckDB hugeint aggregates cast to BIGINT / DOUBLE explicitly
+* the md5-prefix integer hash is the shared cross-engine primitive:
+  Spark  conv(substring(md5(x),1,8),16,10)::bigint
+  DuckDB ('0x' || substr(md5(x),1,8))::bigint
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared constants (minhash params are embedded as literals in the oracle SQL)
+# ---------------------------------------------------------------------------
+_MH_P = (1 << 31) - 1
+_MH_N = 16
+_MH_BANDS = 4
+_rng = np.random.default_rng(42)
+_MH_A = _rng.integers(1, _MH_P, size=_MH_N).tolist()
+_MH_B = _rng.integers(0, _MH_P, size=_MH_N).tolist()
+_FP_P = (1 << 56) - 5
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational operator coverage (SURVEY.md §2.1-2.8)
+# ---------------------------------------------------------------------------
+
+def rel_q1_pricing_summary(spark, sf_dir):
+    """A1/A3/T5: partial+final hash agg with map-side combine; the filter
+    pushes to the parquet scan (PushedFilters)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1997-09-01")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def rel_q3_top_orders(spark, sf_dir):
+    """J1 broadcast dim join + agg + global top-k."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def rel_q5_nation_revenue(spark, sf_dir):
+    """Multi-way join through the dim chain region→nation→{customer,supplier}
+    with small sides broadcast; one shuffle agg on n_name."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("n_name")
+    )
+
+
+def rel_semi_join(spark, sf_dir):
+    """P3 membership predicate as left_semi (never materializes the probe)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def rel_anti_join(spark, sf_dir):
+    """J7/U4 left_anti: customers with no orders at all."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def rel_topk_per_group(spark, sf_dir):
+    """T1/T4 per-group top-k via rank window — the reference's top-10
+    candidate prune pattern (MentEntsFreqIndexWrapper.scala:53)."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("p_brand", "rk", "p_partkey", "p_name",
+                F.round("p_retailprice", 2).alias("p_retailprice"))
+    )
+
+
+def rel_window_running(spark, sf_dir):
+    """W1 rolling context window: per-user running sum over the 3 preceding
+    events + lag, ordered by (ts, event_id)."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w.rowsBetween(-3, 0)), 4).alias("run_sum"),
+        F.round(F.lag("value", 1).over(w), 4).alias("prev_value"),
+    )
+
+
+def rel_events_hourly(spark, sf_dir):
+    """Tumbling-window agg (the batch shape of the streaming path):
+    F.window(ts, 1 hour) ≙ date_trunc."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def rel_bucketed_stats(spark, sf_dir):
+    """A8 grouped-key bucketing — GlobalStats doc-size buckets recast on
+    order totals (GlobalStats.scala:116-141)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "0-50k")
+        .when(F.col("o_totalprice") < 150000, "50-150k")
+        .when(F.col("o_totalprice") < 300000, "150-300k")
+        .otherwise("300k+")
+    )
+    return (
+        o.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def rel_distinct_pairs(spark, sf_dir):
+    """A7/U2 distinct-pair count — the reference's dedicated 112-core job
+    (EntityCooccurrenceIndex.scala:56-106) as one distinct+count."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.count_distinct("user_id", "event_type").alias("n_distinct_pairs")
+    )
+
+
+def rel_union_nations(spark, sf_dir):
+    """U1 union of corpora + distinct."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return (
+        c.unionByName(s).distinct()
+        .select(F.col("nk").cast("int").alias("nationkey"))
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PBOH statistics over a testdata-derived anchor corpus
+# (doc_id = l_orderkey, entity = l_suppkey, name = p_brand)
+# ---------------------------------------------------------------------------
+
+def _anchors(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(
+            F.col("l_orderkey").alias("doc_id"),
+            F.lower(F.col("p_brand")).alias("name"),
+            F.col("l_suppkey").alias("entity"),
+        )
+    )
+
+
+_ANCHORS_SQL = """
+    SELECT l_orderkey AS doc_id, lower(p_brand) AS name, l_suppkey AS entity
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def stat_name_stats(spark, sf_dir):
+    """p̂(e|m) index (CandidatesList.scala:95-98) with deterministic top-k
+    prune — the real stats.name_stats over the derived anchors."""
+    from pboh_spark import stats
+
+    ns = stats.name_stats(_anchors(spark, sf_dir), top_k=5)
+    return ns.select(
+        "name", "entity", "freq", "total_freq",
+        F.round("prob", 6).alias("prob"), "rank",
+    )
+
+
+def stat_entity_stats(spark, sf_dir):
+    """A5/A6 popularity + self-cocitation
+    (EntityCooccurrenceIndex.scala:126-166)."""
+    from pboh_spark import stats
+
+    es = stats.entity_stats(_anchors(spark, sf_dir))
+    return es.select(
+        "entity",
+        F.col("popularity").cast("bigint").alias("popularity"),
+        F.col("self_cocit").cast("bigint").alias("self_cocit"),
+        F.round("log_pop", 6).alias("log_pop"),
+    )
+
+
+def stat_cooccurrence(spark, sf_dir):
+    """J2 posting-list intersection recast as distinct self-join + agg."""
+    from pboh_spark import stats
+
+    return stats.cooccurrence(_anchors(spark, sf_dir), min_cocit=2).select(
+        "e1", "e2", F.col("cocit").cast("bigint").alias("cocit")
+    )
+
+
+def stat_lambda_potential(spark, sf_dir):
+    """C3 the PBOH pairwise potential λ(e1,e2) with independence backoff
+    (ScorerFull.scala:200-227) — full cross-engine formula parity."""
+    from pboh_spark import stats
+
+    anchors = _anchors(spark, sf_dir)
+    es = stats.entity_stats(anchors)
+    scalars = stats.corpus_scalars(anchors)
+    lam = stats.with_lambda_potential(
+        stats.cooccurrence(anchors, min_cocit=2), es, scalars
+    )
+    return lam.select(
+        "e1", "e2", F.col("cocit").cast("bigint").alias("cocit"),
+        F.round("lambda_potential", 4).alias("lambda_potential"),
+    )
+
+
+def stat_word_freq(spark, sf_dir):
+    """A1 word-frequency dict p(w) (WordFreqPerCorpus.scala:36-38) over the
+    documents corpus, min-freq filter ≙ P2."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.explode(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != F.lit(""))
+    )
+    return (
+        d.select(words.alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# linkage primitives over testdata (blocking + pair scoring + CC)
+# ---------------------------------------------------------------------------
+
+def link_pair_scoring(spark, sf_dir):
+    """J3/J4 within-block self-join + fused similarity scoring (stage 4):
+    blocks = (p_brand, p_size); JW (pandas UDF) + Levenshtein +
+    token-Jaccard, fused score, threshold — all but JW codegen'd."""
+    from pboh_spark.pairs import jaro_winkler_udf
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pid"),
+        F.lower(F.col("p_name")).alias("ngram"),
+        F.col("p_brand").alias("bk1"),
+        F.col("p_size").alias("bk2"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (
+        a.join(b, ["bk1", "bk2"])
+        .where(F.col("a.pid") < F.col("b.pid"))
+        .select(
+            F.col("a.pid").alias("pid_a"),
+            F.col("b.pid").alias("pid_b"),
+            F.col("a.ngram").alias("ngram_a"),
+            F.col("b.ngram").alias("ngram_b"),
+        )
+    )
+    maxlen = F.greatest(F.length("ngram_a"), F.length("ngram_b"))
+    ta, tb = F.split(F.col("ngram_a"), " "), F.split(F.col("ngram_b"), " ")
+    return (
+        pairs.withColumn("jw", F.round(jaro_winkler_udf("ngram_a", "ngram_b"), 4))
+        .withColumn(
+            "lev_sim",
+            F.round(1.0 - F.levenshtein("ngram_a", "ngram_b") / maxlen, 4),
+        )
+        .withColumn(
+            "tok_jac",
+            F.round(
+                F.size(F.array_intersect(ta, tb))
+                / F.greatest(F.size(F.array_union(ta, tb)), F.lit(1)),
+                4,
+            ),
+        )
+        # score = weighted sum of 4dp features ⇒ exactly 5 decimal digits;
+        # round to 5 (identity) — rounding to 4 would sit exactly on the
+        # .xxxx5 tie, which Spark (HALF_UP) and DuckDB (binary) resolve
+        # differently
+        .withColumn(
+            "score",
+            F.round(
+                0.5 * F.col("jw") + 0.3 * F.col("lev_sim") + 0.2 * F.col("tok_jac"),
+                5,
+            ),
+        )
+        .withColumn("is_match_pred", F.col("score") >= 0.75)
+        .select(
+            "pid_a", "pid_b", "ngram_a", "ngram_b",
+            "jw", "lev_sim", "tok_jac", "score", "is_match_pred",
+        )
+    )
+
+
+def link_blocking_metrics(spark, sf_dir):
+    """Stage-3 salt/cap skew accounting (blocking.salt_and_cap metrics):
+    block sizes, oversized-block count, naive pair space."""
+    from pboh_spark.blocking import salt_and_cap
+
+    p = _t(spark, sf_dir, "part").select(
+        F.concat_ws("|", "p_brand", F.col("p_size").cast("string")).alias(
+            "block_key"
+        ),
+        F.col("p_partkey").alias("mention_id"),
+    )
+    _, metrics = salt_and_cap(p, cap=16)
+    return metrics.select(
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.col("max_block_size").cast("bigint").alias("max_block_size"),
+        F.col("n_blocks_salted").cast("bigint").alias("n_blocks_salted"),
+        F.round(F.col("naive_pairs"), 1).alias("naive_pairs"),
+    )
+
+
+def cc_components(spark, sf_dir):
+    """Stage-6 iterative hash-to-min + pointer-jumping connected components
+    over the minhash-LSH near-dup graph of documents; oracle = recursive-CTE
+    transitive closure (exact same clusters)."""
+    from pboh_spark.cluster import connected_components
+    from pboh_spark.ops.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(d, "text", k=3, n_hashes=_MH_N, n_bands=_MH_BANDS)
+    comp = connected_components(edges, "doc_id_a", "doc_id_b")
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("cluster_id").cast("bigint").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dedup ladder (ops/dedup.py)
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    from pboh_spark.ops.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_sig(spark, sf_dir):
+    from pboh_spark.ops.dedup import minhash_signatures
+
+    return minhash_signatures(
+        _t(spark, sf_dir, "documents"), "text", k=3, n_hashes=_MH_N, seed=42
+    ).select("doc_id", "hash_idx", F.col("minhash").cast("bigint").alias("minhash"))
+
+
+def dedup_lsh_pairs(spark, sf_dir):
+    from pboh_spark.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "text",
+        k=3, n_hashes=_MH_N, n_bands=_MH_BANDS, seed=42,
+    )
+
+
+def dedup_jaccard_pairs(spark, sf_dir):
+    from pboh_spark.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", k=3, min_jaccard=0.5
+    ).select("doc_id_a", "doc_id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def dedup_simhash(spark, sf_dir):
+    from pboh_spark.ops.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), "text", bits=32).select(
+        "doc_id", F.col("simhash").cast("bigint").alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (ops/textstats.py)
+# ---------------------------------------------------------------------------
+
+def text_token_count(spark, sf_dir):
+    from pboh_spark.ops.textstats import token_count
+
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+def text_quality(spark, sf_dir):
+    from pboh_spark.ops.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def text_language_id(spark, sf_dir):
+    from pboh_spark.ops.textstats import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def text_fingerprint(spark, sf_dir):
+    from pboh_spark.ops.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search (ops/simsearch.py)
+# ---------------------------------------------------------------------------
+
+def ann_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-k (broadcast nested-loop join)."""
+    from pboh_spark.ops.simsearch import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    return cosine_topk_bruteforce(emb, q, k=10).select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed ANN (rows-only: hyperplanes are numpy constants
+    folded into the plan, not SQL-expressible)."""
+    from pboh_spark.ops.simsearch import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    return lsh_topk(emb, q, dim=64, k=10).select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# synthetic-pipeline queries (rows-only: iterative LBP / full pipeline)
+# ---------------------------------------------------------------------------
+
+def pboh_resolve_lbp(spark, sf_dir):
+    """Bounded max-product LBP entity resolution (C4-C8) on the seeded
+    synthetic transcript corpus — the reference's flagship compute."""
+    from pboh_spark import resolve, stats, synth
+    from pboh_spark.normalize import extract_mentions
+
+    uni = synth.EntityUniverse()
+    transcripts, _ = synth.generate_transcripts(spark, 40, universe=uni)
+    anchors = synth.generate_anchors(spark, 800, universe=uni)
+    mentions = extract_mentions(transcripts)
+    ns = stats.name_stats(anchors)
+    es = stats.entity_stats(anchors)
+    scalars = stats.corpus_scalars(anchors)
+    lam = stats.with_lambda_potential(stats.cooccurrence(anchors), es, scalars)
+    cand = resolve.mention_candidates(mentions, ns, es, top_k=10)
+    out = resolve.resolve_entities(
+        cand, resolve.conv_lambda_pairs(cand, lam), max_product=True,
+        scalars=scalars,
+    )
+    return out.select("conv_id", "mention_id", "entity", "converged")
+
+
+def pboh_e2e_clusters(spark, sf_dir):
+    """Full blocking → pair scoring → threshold → connected-components
+    pipeline on the synthetic corpus; returns the clusters table."""
+    from pboh_spark import blocking, cluster, stats, synth
+    from pboh_spark import pairs as pairs_mod
+    from pboh_spark.normalize import extract_mentions
+
+    uni = synth.EntityUniverse()
+    transcripts, _ = synth.generate_transcripts(spark, 40, universe=uni)
+    anchors = synth.generate_anchors(spark, 800, universe=uni)
+    mentions = extract_mentions(transcripts)
+    ns = stats.name_stats(anchors)
+    cb = blocking.candidate_blocks(mentions, ns, top_k=10)
+    mh = blocking.minhash_blocks(mentions, ns, oov_only=True)
+    salted, _ = blocking.salt_and_cap(cb.unionByName(mh), cap=512)
+    scored = pairs_mod.score_pairs(pairs_mod.candidate_pairs(salted))
+    comp = cluster.connected_components(scored.where("is_match_pred"))
+    return cluster.clusters_table(mentions, comp).select(
+        "mention_id", "conv_id", "turn_idx", "ngram", "cluster_id"
+    )
+
+
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary payloads → mapInPandas feature extraction
+    (decode stubbed deterministically; rows-only)."""
+    from pboh_spark.ops.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=64)
+    return extract_features(media).select("media_id", "kind", "n_bytes")
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-dup blocking (minhash-LSH) → pair graph → iterative
+    connected-components clustering over sf0.001 documents."""
+    return cc_components(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rel_q1_pricing_summary": rel_q1_pricing_summary,
+        "rel_q3_top_orders": rel_q3_top_orders,
+        "rel_q5_nation_revenue": rel_q5_nation_revenue,
+        "rel_semi_join": rel_semi_join,
+        "rel_anti_join": rel_anti_join,
+        "rel_topk_per_group": rel_topk_per_group,
+        "rel_window_running": rel_window_running,
+        "rel_events_hourly": rel_events_hourly,
+        "rel_bucketed_stats": rel_bucketed_stats,
+        "rel_distinct_pairs": rel_distinct_pairs,
+        "rel_union_nations": rel_union_nations,
+        "stat_word_freq": stat_word_freq,
+        "stat_name_stats": stat_name_stats,
+        "stat_entity_stats": stat_entity_stats,
+        "stat_cooccurrence": stat_cooccurrence,
+        "stat_lambda_potential": stat_lambda_potential,
+        "link_pair_scoring": link_pair_scoring,
+        "link_blocking_metrics": link_blocking_metrics,
+        "cc_components": cc_components,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_sig": dedup_minhash_sig,
+        "dedup_lsh_pairs": dedup_lsh_pairs,
+        "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_simhash": dedup_simhash,
+        "text_token_count": text_token_count,
+        "text_quality": text_quality,
+        "text_language_id": text_language_id,
+        "text_fingerprint": text_fingerprint,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "pboh_resolve_lbp": pboh_resolve_lbp,
+        "pboh_e2e_clusters": pboh_e2e_clusters,
+        "multimodal_features": multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# word k=3 shingles of lowercased text, distinct per doc (mirrors
+# ops/dedup.word_shingles: split on whitespace, slice windows of 3, join)
+_SHINGLES_SQL = """
+    shingles AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   array_to_string(w[i + 1 : i + 3], ' ') AS shingle
+            FROM (SELECT doc_id,
+                         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+                  FROM documents),
+                 UNNEST(range(0, greatest(len(w) - 3, 0) + 1)) AS t(i)
+        ) WHERE length(shingle) > 0
+    )
+"""
+
+_MH_PARAMS_SQL = ", ".join(
+    f"({i}, {_MH_A[i]}::BIGINT, {_MH_B[i]}::BIGINT)" for i in range(_MH_N)
+)
+
+_MINHASH_SQL = f"""
+    {_SHINGLES_SQL},
+    params(i, a, b) AS (VALUES {_MH_PARAMS_SQL}),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+        FROM shingles
+    ),
+    sigs AS (
+        SELECT doc_id, i AS hash_idx,
+               min((a * h + b) % {_MH_P}) AS minhash
+        FROM hashed CROSS JOIN params
+        GROUP BY doc_id, i
+    )
+"""
+
+_BANDS_SQL = f"""
+    {_MINHASH_SQL},
+    bands AS (
+        SELECT doc_id, (hash_idx // {_MH_N // _MH_BANDS}) AS band,
+               md5(array_to_string(list_sort(list(minhash)), ',')) AS band_key
+        FROM sigs GROUP BY doc_id, (hash_idx // {_MH_N // _MH_BANDS})
+    ),
+    lsh_pairs AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               count(*)::BIGINT AS n_shared_bands
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+"""
+
+# whitespace word arrays (mirrors textstats._words: split on \\s+, drop '')
+_WORDS_SQL = """
+    words AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    )
+"""
+
+def _lang_structs_sql() -> str:
+    from pboh_spark.ops.textstats import LANG_PROFILES
+
+    parts = []
+    for lang, prof in sorted(LANG_PROFILES.items()):
+        lst = ", ".join(f"'{w}'" for w in prof)
+        parts.append(
+            f"{{'s': len(list_filter(w, x -> list_contains([{lst}], x)))::DOUBLE"
+            f" / greatest(len(w), 1), 'l': '{lang}'}}"
+        )
+    return ", ".join(parts)
+
+
+_LANG_STRUCTS = _lang_structs_sql()
+
+_STOP_EN = "'the','and','of','to','in','is','for','with','that','this'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    q1 = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*)::BIGINT AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1997-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
     """
-    return {}
+    q3 = """
+        SELECT l_orderkey, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """
+    q5 = """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """
+    semi = """
+        SELECT c_mktsegment,
+               count(*)::BIGINT AS n_customers,
+               round(avg(c_acctbal), 4) AS avg_bal
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """
+    anti = """
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey
+    """
+    topk = """
+        SELECT p_brand, rk, p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY p_brand
+                ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+            FROM part
+        ) WHERE rk <= 3
+    """
+    winrun = """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS run_sum,
+               round(lag(value, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id), 4) AS prev_value
+        FROM events WHERE user_id < 50
+    """
+    hourly = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type,
+               count(*)::BIGINT AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    """
+    bucketed = """
+        SELECT CASE WHEN o_totalprice < 50000 THEN '0-50k'
+                    WHEN o_totalprice < 150000 THEN '50-150k'
+                    WHEN o_totalprice < 300000 THEN '150-300k'
+                    ELSE '300k+' END AS bucket,
+               count(*)::BIGINT AS n_orders,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders GROUP BY 1 ORDER BY 1
+    """
+    distinct_pairs = """
+        SELECT count(DISTINCT (user_id, event_type))::BIGINT AS n_distinct_pairs
+        FROM events
+    """
+    union_nations = """
+        SELECT DISTINCT nk::INT AS nationkey FROM (
+            SELECT c_nationkey AS nk FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nk FROM supplier
+        ) ORDER BY nationkey
+    """
+    word_freq = """
+        SELECT word, count(*)::BIGINT AS freq FROM (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS word
+            FROM documents
+        ) GROUP BY word HAVING count(*) >= 5
+    """
+    name_stats = f"""
+        WITH anchors AS ({_ANCHORS_SQL}),
+        freq AS (
+            SELECT name, entity, count(*)::BIGINT AS freq
+            FROM anchors GROUP BY name, entity
+        ),
+        ranked AS (
+            SELECT name, entity, freq,
+                   sum(freq) OVER (PARTITION BY name)::BIGINT AS total_freq,
+                   row_number() OVER (
+                       PARTITION BY name ORDER BY freq DESC, entity ASC) AS rank
+            FROM freq
+        )
+        SELECT name, entity, freq, total_freq,
+               round(freq::DOUBLE / total_freq, 6) AS prob,
+               rank::INT AS rank
+        FROM ranked WHERE rank <= 5
+    """
+    entity_stats = f"""
+        WITH anchors AS ({_ANCHORS_SQL}),
+        doc_sizes AS (
+            SELECT doc_id, count(*)::BIGINT AS n_d FROM anchors GROUP BY doc_id
+        ),
+        per_doc_ent AS (
+            SELECT doc_id, entity, count(*)::BIGINT AS c
+            FROM anchors GROUP BY doc_id, entity
+        )
+        SELECT entity,
+               sum(c * (n_d - 1))::BIGINT AS popularity,
+               sum(CASE WHEN c >= 2 THEN c * (c - 1) ELSE 0 END)::BIGINT AS self_cocit,
+               round(ln(greatest(sum(c * (n_d - 1)), 1)::DOUBLE), 6) AS log_pop
+        FROM per_doc_ent JOIN doc_sizes USING (doc_id)
+        GROUP BY entity
+    """
+    cooccurrence = f"""
+        WITH anchors AS ({_ANCHORS_SQL}),
+        de AS (SELECT DISTINCT doc_id, entity FROM anchors)
+        SELECT a.entity AS e1, b.entity AS e2, count(*)::BIGINT AS cocit
+        FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.entity < b.entity
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    """
+    lambda_potential = f"""
+        WITH anchors AS ({_ANCHORS_SQL}),
+        doc_sizes AS (
+            SELECT doc_id, count(*)::BIGINT AS n_d FROM anchors GROUP BY doc_id
+        ),
+        scalars AS (
+            SELECT sum(n_d * (n_d - 1))::DOUBLE AS n_pairs FROM doc_sizes
+        ),
+        de AS (SELECT DISTINCT doc_id, entity FROM anchors),
+        n_dist AS (
+            SELECT count(*)::DOUBLE AS d FROM (
+                SELECT DISTINCT a.entity, b.entity
+                FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.entity < b.entity
+            )
+        ),
+        per_doc_ent AS (
+            SELECT doc_id, entity, count(*)::BIGINT AS c
+            FROM anchors GROUP BY doc_id, entity
+        ),
+        estats AS (
+            SELECT entity,
+                   sum(c * (n_d - 1))::DOUBLE AS popularity,
+                   sum(CASE WHEN c >= 2 THEN c * (c - 1) ELSE 0 END)::BIGINT
+                       AS self_cocit,
+                   ln(greatest(sum(c * (n_d - 1)), 1)::DOUBLE) AS log_pop
+            FROM per_doc_ent JOIN doc_sizes USING (doc_id)
+            GROUP BY entity
+        ),
+        cooc AS (
+            SELECT a.entity AS e1, b.entity AS e2, count(*)::BIGINT AS cocit
+            FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.entity < b.entity
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        allpairs AS (
+            SELECT e1, e2, cocit FROM cooc
+            UNION ALL
+            SELECT entity AS e1, entity AS e2, self_cocit AS cocit FROM estats
+        ),
+        backoff AS (
+            SELECT greatest(n_pairs - 0.5 * d, 1e-9) / n_pairs AS bo, n_pairs
+            FROM scalars, n_dist
+        ),
+        sm AS (
+            SELECT p.e1, p.e2, p.cocit,
+                   greatest(p.cocit - 0.5, 0.0)
+                   + bo * coalesce(s1.popularity, 1.0)
+                        * coalesce(s2.popularity, 1.0) / n_pairs AS smoothed,
+                   coalesce(s1.log_pop, 0.0) AS lp1,
+                   coalesce(s2.log_pop, 0.0) AS lp2
+            FROM allpairs p
+            LEFT JOIN estats s1 ON p.e1 = s1.entity
+            LEFT JOIN estats s2 ON p.e2 = s2.entity
+            CROSS JOIN backoff
+        )
+        SELECT e1, e2, cocit,
+               round((CASE WHEN smoothed > 0 THEN ln(smoothed) ELSE -1000.0 END)
+                     - 0.15 * lp1 - 0.15 * lp2, 4) AS lambda_potential
+        FROM sm
+    """
+    pair_scoring = """
+        WITH p AS (
+            SELECT p_partkey AS pid, lower(p_name) AS ngram,
+                   p_brand AS bk1, p_size AS bk2
+            FROM part
+        ),
+        pairs AS (
+            SELECT a.pid AS pid_a, b.pid AS pid_b,
+                   a.ngram AS ngram_a, b.ngram AS ngram_b
+            FROM p a JOIN p b
+              ON a.bk1 = b.bk1 AND a.bk2 = b.bk2 AND a.pid < b.pid
+        ),
+        feat AS (
+            SELECT pid_a, pid_b, ngram_a, ngram_b,
+                   round(jaro_winkler_similarity(ngram_a, ngram_b), 4) AS jw,
+                   round(1.0 - levenshtein(ngram_a, ngram_b)::DOUBLE
+                         / greatest(length(ngram_a), length(ngram_b)), 4) AS lev_sim,
+                   round(len(list_intersect(string_split(ngram_a, ' '),
+                                            string_split(ngram_b, ' ')))::DOUBLE
+                         / greatest(len(list_distinct(
+                               list_concat(string_split(ngram_a, ' '),
+                                           string_split(ngram_b, ' ')))), 1),
+                         4) AS tok_jac
+            FROM pairs
+        )
+        SELECT pid_a, pid_b, ngram_a, ngram_b, jw, lev_sim, tok_jac,
+               round(0.5 * jw + 0.3 * lev_sim + 0.2 * tok_jac, 5) AS score,
+               (round(0.5 * jw + 0.3 * lev_sim + 0.2 * tok_jac, 5) >= 0.75)
+                   AS is_match_pred
+        FROM feat
+    """
+    blocking_metrics = """
+        WITH sizes AS (
+            SELECT p_brand || '|' || p_size::VARCHAR AS block_key,
+                   count(*)::BIGINT AS block_size
+            FROM part GROUP BY 1
+        )
+        SELECT count(*)::BIGINT AS n_blocks,
+               max(block_size)::BIGINT AS max_block_size,
+               sum(CASE WHEN block_size > 16 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_blocks_salted,
+               round(sum(block_size * (block_size - 1) / 2.0), 1) AS naive_pairs
+        FROM sizes
+    """
+    cc = f"""
+        WITH RECURSIVE {_BANDS_SQL},
+        sym AS (
+            SELECT doc_id_a AS u, doc_id_b AS v FROM lsh_pairs
+            UNION
+            SELECT doc_id_b AS u, doc_id_a AS v FROM lsh_pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM sym
+            UNION
+            SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        )
+        SELECT u AS doc_id, least(u, min(v))::BIGINT AS cluster_id
+        FROM reach GROUP BY u ORDER BY doc_id
+    """
+    d_exact = """
+        WITH h AS (
+            SELECT doc_id, md5(text) AS content_hash FROM documents
+        ),
+        canon AS (
+            SELECT content_hash, min(doc_id) AS canonical_id
+            FROM h GROUP BY content_hash
+        )
+        SELECT doc_id, content_hash, canonical_id,
+               (doc_id <> canonical_id) AS is_dup
+        FROM h JOIN canon USING (content_hash)
+    """
+    d_sig = f"""
+        WITH {_MINHASH_SQL}
+        SELECT doc_id, hash_idx::INT AS hash_idx, minhash::BIGINT AS minhash
+        FROM sigs
+    """
+    d_lsh = f"""
+        WITH {_BANDS_SQL}
+        SELECT doc_id_a, doc_id_b, n_shared_bands FROM lsh_pairs
+    """
+    d_jac = f"""
+        WITH {_SHINGLES_SQL},
+        sizes AS (
+            SELECT doc_id, count(*)::BIGINT AS n_sh FROM shingles GROUP BY doc_id
+        ),
+        overlap AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   count(*)::BIGINT AS inter
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_id_a, doc_id_b,
+               round(inter::DOUBLE / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+        FROM overlap
+        JOIN sizes na ON na.doc_id = doc_id_a
+        JOIN sizes nb ON nb.doc_id = doc_id_b
+        WHERE inter::DOUBLE / (na.n_sh + nb.n_sh - inter) >= 0.5
+    """
+    d_simhash = """
+        WITH wh AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
+            FROM (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                          x -> x <> '')) AS word
+                FROM documents
+            )
+        ),
+        contrib AS (
+            SELECT doc_id, bit,
+                   CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS v
+            FROM wh, UNNEST(range(0, 32)) AS t(bit)
+        ),
+        bits AS (
+            SELECT doc_id, bit,
+                   CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS bitval
+            FROM contrib GROUP BY doc_id, bit
+        )
+        SELECT doc_id, sum(bitval * (1::BIGINT << bit))::BIGINT AS simhash
+        FROM bits GROUP BY doc_id
+    """
+    tok = """
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> ''))::INT AS n_tokens,
+               (len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> ''))
+                + length(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g')))::INT
+                   AS n_subwords
+        FROM documents
+    """
+    quality = f"""
+        WITH {_WORDS_SQL},
+        feat AS (
+            SELECT d.doc_id,
+                   length(d.text) AS n_chars,
+                   len(w.w) AS n_tokens,
+                   length(regexp_replace(d.text, '[a-zA-Z0-9\\s]', '', 'g'))
+                       AS n_punct,
+                   len(list_filter(w.w, x -> list_contains([{_STOP_EN}], x)))
+                       AS n_stop,
+                   list_sum(list_transform(w.w, x -> length(x))) AS sum_wl
+            FROM documents d JOIN words w USING (doc_id)
+        )
+        SELECT doc_id,
+               n_chars::INT AS n_chars,
+               n_tokens::INT AS n_tokens,
+               round(coalesce(sum_wl, 0)::DOUBLE / greatest(n_tokens, 1), 6)
+                   AS avg_word_len,
+               round(n_punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+               round(n_stop::DOUBLE / greatest(n_tokens, 1), 6) AS stopword_ratio,
+               round(CASE WHEN n_tokens < 5 THEN 0.0
+                          WHEN n_punct::DOUBLE / greatest(n_chars, 1) > 0.3 THEN 0.2
+                          ELSE least(1.0,
+                               0.5 * (n_stop::DOUBLE / greatest(n_tokens, 1)) * 5
+                               + 0.5 * least(n_tokens / 100.0, 1.0)) END, 6)
+                   AS quality
+        FROM feat
+    """
+    lang = f"""
+        WITH {_WORDS_SQL},
+        scored AS (
+            SELECT doc_id,
+                   list_sort([{_LANG_STRUCTS}],
+                             'DESC')[1] AS best
+            FROM words
+        )
+        SELECT doc_id,
+               CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred,
+               round(best.s, 6) AS lang_score
+        FROM scored
+    """
+    fingerprint = f"""
+        WITH RECURSIVE {_WORDS_SQL},
+        maxlen AS (SELECT max(len(w)) AS m FROM words),
+        pw(k, p) AS (
+            SELECT 0, 1::HUGEINT
+            UNION ALL
+            SELECT k + 1, (p * 31) % {_FP_P} FROM pw
+            WHERE k < (SELECT m FROM maxlen)
+        ),
+        toks AS (
+            SELECT doc_id, i, len(w) AS n,
+                   ('0x' || substr(md5(w[i]), 1, 8))::BIGINT::HUGEINT AS h
+            FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
+        )
+        SELECT w.doc_id,
+               coalesce(f.fp64, 0)::BIGINT AS fp64
+        FROM words w
+        LEFT JOIN (
+            SELECT doc_id,
+                   (sum((h * pw.p) % {_FP_P}) % {_FP_P})::BIGINT AS fp64
+            FROM toks JOIN pw ON pw.k = toks.n - toks.i
+            GROUP BY doc_id
+        ) f USING (doc_id)
+    """
+    ann = """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 20
+        ),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   (SELECT sum(qv[i]::DOUBLE * cv[i]::DOUBLE)
+                    FROM UNNEST(range(1, 65)) AS t(i))
+                   / (sqrt((SELECT sum(qv[i]::DOUBLE * qv[i]::DOUBLE)
+                            FROM UNNEST(range(1, 65)) AS t(i)))
+                      * sqrt((SELECT sum(cv[i]::DOUBLE * cv[i]::DOUBLE)
+                              FROM UNNEST(range(1, 65)) AS t(i)))) AS cosine
+            FROM c CROSS JOIN q
+            WHERE neighbor_id <> query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank::INT AS rank
+        FROM ranked WHERE rank <= 10
+    """
+    return {
+        "rel_q1_pricing_summary": q1,
+        "rel_q3_top_orders": q3,
+        "rel_q5_nation_revenue": q5,
+        "rel_semi_join": semi,
+        "rel_anti_join": anti,
+        "rel_topk_per_group": topk,
+        "rel_window_running": winrun,
+        "rel_events_hourly": hourly,
+        "rel_bucketed_stats": bucketed,
+        "rel_distinct_pairs": distinct_pairs,
+        "rel_union_nations": union_nations,
+        "stat_word_freq": word_freq,
+        "stat_name_stats": name_stats,
+        "stat_entity_stats": entity_stats,
+        "stat_cooccurrence": cooccurrence,
+        "stat_lambda_potential": lambda_potential,
+        "link_pair_scoring": pair_scoring,
+        "link_blocking_metrics": blocking_metrics,
+        "cc_components": cc,
+        "dedup_exact": d_exact,
+        "dedup_minhash_sig": d_sig,
+        "dedup_lsh_pairs": d_lsh,
+        "dedup_jaccard_pairs": d_jac,
+        "dedup_simhash": d_simhash,
+        "text_token_count": tok,
+        "text_quality": quality,
+        "text_language_id": lang,
+        "text_fingerprint": fingerprint,
+        "ann_cosine_topk": ann,
+        # rows-only (non-SQL-expressible): ann_lsh_topk (numpy hyperplanes),
+        # pboh_resolve_lbp (iterative max-product), pboh_e2e_clusters
+        # (pandas-UDF pipeline), multimodal_features (binary mapInPandas)
+    }
