@@ -230,6 +230,150 @@ def rel_union_nations(spark, sf_dir):
     )
 
 
+def rel_context_window(spark, sf_dir):
+    """W1 context-window extraction: the ±2 surrounding event types per
+    user in (ts, event_id) order — the reference's ±K-word mention context
+    (TextSplittingInWords.scala:62-105) as a frame window."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.concat_ws(",", F.collect_list("event_type").over(w)).alias("ctx"),
+    )
+
+
+def rel_seeded_sample(spark, sf_dir):
+    """T6 deterministic sample-k: hash-ordered top-k replaces the
+    reference's unseeded takeSample (SURVEY.md §7.3 determinism note)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":42"))))
+        .limit(20)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+def rel_three_way_split(spark, sf_dir):
+    """U5 dev/val/test split, hash-bucketed (deterministic — the
+    reference's Math.random split is not, SplitFileIntoDevValidationTest
+    .scala:22-29)."""
+    o = _t(spark, sf_dir, "orders")
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+               ).cast("bigint"),
+        F.lit(10),
+    )
+    split = (
+        F.when(b < 8, "dev").when(b == 8, "val").otherwise("test")
+    )
+    return (
+        o.withColumn("split", split)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split")
+    )
+
+
+def link_containment_join(spark, sf_dir):
+    """J5 substring-containment join (MentEntsFreqIndexWrapper.scala:30-40):
+    a name contained in a longer co-blocked name. Equi-join on the noun
+    suffix makes it a real blocked join, not a cross product."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .select(F.lower(F.col("p_name")).alias("name"))
+        .distinct()
+        .withColumn("noun", F.regexp_extract("name", "[a-z0-9]+$", 0))
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(b, "noun")
+        .where(
+            (F.col("a.name") != F.col("b.name"))
+            & (F.instr(F.col("b.name"), F.col("a.name")) > 0)
+        )
+        .select(
+            F.col("a.name").alias("contained"),
+            F.col("b.name").alias("container"),
+        )
+    )
+
+
+def link_nearest_name(spark, sf_dir):
+    """J6/T3 nearest-dictionary-key lookup: globally sorted name dictionary,
+    nearest lex neighbor by Levenshtein (the reference's binary-search ±
+    neighbors fallback, MentionEntitiesFrequencyIndex.scala:123-182)."""
+    names = (
+        _t(spark, sf_dir, "part")
+        .select(F.lower(F.col("p_name")).alias("name"))
+        .distinct()
+    )
+    w = Window.orderBy("name")
+    d = names.select(
+        "name",
+        F.lag("name").over(w).alias("prev"),
+        F.lead("name").over(w).alias("nxt"),
+    )
+    dp = F.levenshtein("name", "prev")
+    dn = F.levenshtein("name", "nxt")
+    nearest = (
+        F.when(F.col("prev").isNull(), F.col("nxt"))
+        .when(F.col("nxt").isNull(), F.col("prev"))
+        .when(dn < dp, F.col("nxt"))
+        .otherwise(F.col("prev"))
+    )
+    return d.select(
+        "name",
+        nearest.alias("nearest"),
+        F.levenshtein("name", nearest).alias("dist"),
+    )
+
+
+def stat_mention_positions(spark, sf_dir):
+    """W2 sliding mention match: start positions (1-based) of the word
+    bigram 'data table' in each document's word stream
+    (EntityWordsProbs.scala:93-134) via posexplode + lead."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+    )
+    ex = d.select("doc_id", F.posexplode(words).alias("pos", "w"))
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        ex.withColumn("nxt", F.lead("w").over(wnd))
+        .where((F.col("w") == "data") & (F.col("nxt") == "table"))
+        .select("doc_id", (F.col("pos") + 1).alias("pos"))
+    )
+
+
+def text_normalize(spark, sf_dir):
+    """F1/F3/F5 normalization: lowercase, delimiter tokenize, stopword
+    removal (sorted distinct tokens), plus the F2 capitalize transform."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]+", " "), " "),
+        lambda t: t != F.lit(""),
+    )
+    stop = F.lit(
+        ["the", "and", "of", "to", "in", "is", "for", "with", "that", "this"]
+    ).cast("array<string>")
+    kept = F.sort_array(F.array_except(toks, stop))
+    cap = F.concat(
+        F.upper(F.substring(F.lower(F.col("text")), 1, 1)),
+        F.substring(F.lower(F.col("text")), 2, 1000000),
+    )
+    return d.select(
+        "doc_id",
+        F.size(kept).alias("n_tokens_nostop"),
+        F.concat_ws(" ", kept).alias("tokens_norm"),
+        cap.alias("text_cap"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PBOH statistics over a testdata-derived anchor corpus
 # (doc_id = l_orderkey, entity = l_suppkey, name = p_brand)
@@ -303,6 +447,24 @@ def stat_lambda_potential(spark, sf_dir):
     return lam.select(
         "e1", "e2", F.col("cocit").cast("bigint").alias("cocit"),
         F.round("lambda_potential", 4).alias("lambda_potential"),
+    )
+
+
+def stat_argmax_entity(spark, sf_dir):
+    """C9/T4 ARGMAX baseline: per-name argmax entity by p̂(e|m) with
+    deterministic tie-break on entity id (md/MostFrequentEntity.scala:14-20;
+    the reference's tie-break is hash-order-dependent, ours must not be)."""
+    from pboh_spark import stats
+
+    ns = stats.name_stats(_anchors(spark, sf_dir))
+    return (
+        ns.groupBy("name")
+        .agg(
+            F.max_by(
+                "entity", F.struct(F.col("prob"), (-F.col("entity")).alias("t"))
+            ).alias("entity"),
+            F.round(F.max("prob"), 6).alias("prob"),
+        )
     )
 
 
@@ -596,7 +758,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_bucketed_stats": rel_bucketed_stats,
         "rel_distinct_pairs": rel_distinct_pairs,
         "rel_union_nations": rel_union_nations,
+        "rel_context_window": rel_context_window,
+        "rel_seeded_sample": rel_seeded_sample,
+        "rel_three_way_split": rel_three_way_split,
+        "link_containment_join": link_containment_join,
+        "link_nearest_name": link_nearest_name,
+        "stat_mention_positions": stat_mention_positions,
+        "text_normalize": text_normalize,
         "stat_word_freq": stat_word_freq,
+        "stat_argmax_entity": stat_argmax_entity,
         "stat_name_stats": stat_name_stats,
         "stat_entity_stats": stat_entity_stats,
         "stat_cooccurrence": stat_cooccurrence,
@@ -809,6 +979,24 @@ def oracle_sql() -> dict[str, str]:
                                       x -> x <> '')) AS word
             FROM documents
         ) GROUP BY word HAVING count(*) >= 5
+    """
+    argmax_entity = f"""
+        WITH anchors AS ({_ANCHORS_SQL}),
+        freq AS (
+            SELECT name, entity, count(*)::BIGINT AS freq
+            FROM anchors GROUP BY name, entity
+        ),
+        probs AS (
+            SELECT name, entity,
+                   freq::DOUBLE / sum(freq) OVER (PARTITION BY name) AS prob,
+                   row_number() OVER (
+                       PARTITION BY name ORDER BY freq DESC, entity ASC) AS rk
+            FROM freq
+        )
+        SELECT name,
+               max(CASE WHEN rk = 1 THEN entity END) AS entity,
+               round(max(prob), 6) AS prob
+        FROM probs GROUP BY name
     """
     name_stats = f"""
         WITH anchors AS ({_ANCHORS_SQL}),
@@ -1135,6 +1323,92 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank::INT AS rank
         FROM ranked WHERE rank <= 10
     """
+    ctx_window = """
+        SELECT user_id, event_id,
+               array_to_string(list(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), ',') AS ctx
+        FROM events WHERE user_id < 20
+    """
+    seeded_sample = """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        ORDER BY md5(o_orderkey::VARCHAR || ':42')
+        LIMIT 20
+    """
+    three_way = """
+        SELECT CASE WHEN b < 8 THEN 'dev' WHEN b = 8 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*)::BIGINT AS n
+        FROM (
+            SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 10
+                       AS b
+            FROM orders
+        ) GROUP BY 1 ORDER BY 1
+    """
+    containment = """
+        WITH p AS (
+            SELECT DISTINCT lower(p_name) AS name FROM part
+        ),
+        n AS (
+            SELECT name, regexp_extract(name, '[a-z0-9]+$') AS noun FROM p
+        )
+        SELECT a.name AS contained, b.name AS container
+        FROM n a JOIN n b ON a.noun = b.noun
+        WHERE a.name <> b.name AND strpos(b.name, a.name) > 0
+    """
+    nearest_name = """
+        WITH names AS (SELECT DISTINCT lower(p_name) AS name FROM part),
+        d AS (
+            SELECT name,
+                   lag(name) OVER (ORDER BY name) AS prev,
+                   lead(name) OVER (ORDER BY name) AS nxt
+            FROM names
+        )
+        SELECT name,
+               CASE WHEN prev IS NULL THEN nxt
+                    WHEN nxt IS NULL THEN prev
+                    WHEN levenshtein(name, nxt) < levenshtein(name, prev)
+                        THEN nxt
+                    ELSE prev END AS nearest,
+               levenshtein(name,
+                   CASE WHEN prev IS NULL THEN nxt
+                        WHEN nxt IS NULL THEN prev
+                        WHEN levenshtein(name, nxt) < levenshtein(name, prev)
+                            THEN nxt
+                        ELSE prev END)::INT AS dist
+        FROM d
+    """
+    mention_positions = """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+            FROM documents
+        )
+        SELECT doc_id, i AS pos
+        FROM w, UNNEST(range(1, len(w))) AS t(i)
+        WHERE w[i] = 'data' AND w[i + 1] = 'table'
+    """
+    normalize = """
+        SELECT doc_id,
+               len(kept)::INT AS n_tokens_nostop,
+               array_to_string(kept, ' ') AS tokens_norm,
+               upper(substr(lower(text), 1, 1)) || substr(lower(text), 2)
+                   AS text_cap
+        FROM (
+            SELECT doc_id, text,
+                   list_sort(list_filter(
+                       list_distinct(list_filter(
+                           string_split(regexp_replace(lower(text),
+                                                       '[^a-z0-9 ]+', ' ', 'g'),
+                                        ' '),
+                           x -> x <> '')),
+                       x -> NOT list_contains(
+                           ['the','and','of','to','in','is','for','with',
+                            'that','this'], x))) AS kept
+            FROM documents
+        )
+    """
     return {
         "rel_q1_pricing_summary": q1,
         "rel_q3_top_orders": q3,
@@ -1147,7 +1421,15 @@ def oracle_sql() -> dict[str, str]:
         "rel_bucketed_stats": bucketed,
         "rel_distinct_pairs": distinct_pairs,
         "rel_union_nations": union_nations,
+        "rel_context_window": ctx_window,
+        "rel_seeded_sample": seeded_sample,
+        "rel_three_way_split": three_way,
+        "link_containment_join": containment,
+        "link_nearest_name": nearest_name,
+        "stat_mention_positions": mention_positions,
+        "text_normalize": normalize,
         "stat_word_freq": word_freq,
+        "stat_argmax_entity": argmax_entity,
         "stat_name_stats": name_stats,
         "stat_entity_stats": entity_stats,
         "stat_cooccurrence": cooccurrence,

@@ -76,6 +76,8 @@ def linkage_pairs_throughput(
     """Blocking → within-block self-join → vectorized pair scoring on the
     seeded synthetic corpus; returns (pairs_scored, seconds). The corpus is
     deterministic and identical at any parallelism (synth seeds per conv)."""
+    from pyspark.sql import functions as F
+
     from pboh_spark import blocking, stats, synth
     from pboh_spark import pairs as pairs_mod
     from pboh_spark.normalize import extract_mentions
@@ -95,10 +97,84 @@ def linkage_pairs_throughput(
     t0 = time.time()
     cb = blocking.candidate_blocks(mentions, ns, top_k=10)
     mh = blocking.minhash_blocks(mentions, ns, oov_only=True)
+    # salt_and_cap persists its input, so the blocking plan (incl. the
+    # LSH pandas UDF) is computed once even though the downstream
+    # self-join consumes it twice. The final action aggregates over the
+    # fused score — a bare count() would let Catalyst prune the scoring
+    # columns and the similarity UDF would never run
     salted, _ = blocking.salt_and_cap(cb.unionByName(mh), cap=block_cap)
     scored = pairs_mod.score_pairs(pairs_mod.candidate_pairs(salted))
-    n_pairs = scored.count()
-    return n_pairs, time.time() - t0
+    row = scored.agg(
+        F.count("*").alias("n"), F.sum("score").alias("chk")
+    ).collect()[0]
+    return int(row["n"]), time.time() - t0
+
+
+def _prep_pairs(n_conv: int, out_path: str, partitions: int) -> None:
+    """Materialize the candidate-pair table once (full parallelism) so
+    both scaling phases score the IDENTICAL input. Repartitioned so the
+    scan yields many waves of tasks at 4N cores — a handful of large
+    files makes the last-task tail dominate and masks real scaling."""
+    from pboh_spark import blocking, stats, synth
+    from pboh_spark import pairs as pairs_mod
+    from pboh_spark.normalize import extract_mentions
+    from pboh_spark.session import get_spark
+
+    spark = get_spark(cores=CPUS, shuffle_partitions=128)
+    uni = synth.EntityUniverse()
+    transcripts, _ = synth.generate_transcripts(
+        spark, n_conv, universe=uni, partitions=128
+    )
+    anchors = synth.generate_anchors(spark, 4000, universe=uni)
+    ns = stats.name_stats(anchors)
+    mentions = extract_mentions(transcripts)
+    cb = blocking.candidate_blocks(mentions, ns, top_k=10)
+    mh = blocking.minhash_blocks(mentions, ns, oov_only=True)
+    salted, _ = blocking.salt_and_cap(cb.unionByName(mh), cap=64)
+    pairs_mod.candidate_pairs(salted).repartition(partitions).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+    spark.stop()
+
+
+def _one_shot(cores: int, pairs_path: str, shuffle_partitions: int) -> None:
+    """One pinned scaling phase: score the pre-materialized pair table —
+    the 'candidate-pairs-scored/sec' job itself. Full warm-up pass
+    (workers, page cache, codegen), then best-of-3. Invoked as a
+    taskset-pinned subprocess by --scaling so the process really has only
+    N cores (JVM GC/shuffle threads included) — local[N] on a bigger box
+    otherwise overstates N-core throughput."""
+    from pyspark.sql import functions as F
+
+    from pboh_spark import pairs as pairs_mod
+    from pboh_spark.session import get_spark
+
+    spark = get_spark(
+        cores=cores,
+        app_name=f"bench_scaling_{cores}",
+        shuffle_partitions=shuffle_partitions,
+    )
+    df = spark.read.parquet(pairs_path)
+
+    def run() -> tuple[int, float]:
+        t0 = time.time()
+        row = (
+            pairs_mod.score_pairs(df)
+            .agg(F.count("*").alias("n"), F.sum("score").alias("chk"))
+            .collect()[0]
+        )
+        return int(row["n"]), time.time() - t0
+
+    run()  # warm-up
+    trials = [run() for _ in range(3)]
+    n_pairs = trials[0][0]
+    secs = min(t for _, t in trials)
+    print(json.dumps(
+        {"pairs_scored": n_pairs, "sec": round(secs, 2),
+         "trials_sec": [round(t, 2) for _, t in trials],
+         "pairs_per_sec": round(n_pairs / secs, 1)}
+    ))
+    spark.stop()
 
 
 def main() -> None:
@@ -107,6 +183,14 @@ def main() -> None:
                     help="run linkage at local[N] and local[4N], report efficiency")
     ap.add_argument("--n", type=int, default=8, help="N for the scaling run")
     ap.add_argument("--n-conversations", type=int, default=None)
+    ap.add_argument("--one-shot-cores", type=int, default=None,
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--pairs-path", type=str, default=None,
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--prep-pairs", action="store_true",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     from pboh_spark.session import get_spark
@@ -114,24 +198,57 @@ def main() -> None:
     sf = _sf_of(SF_DIR)
     n_conv = args.n_conversations or max(200, int(sf * 20000))
 
-    if args.scaling:
-        from pyspark.sql import SparkSession
+    if args.prep_pairs:
+        _prep_pairs(n_conv, args.pairs_path, args.shuffle_partitions or 256)
+        print("prepared")
+        return
 
-        results = {}
-        for cores in (args.n, 4 * args.n):
-            active = SparkSession.getActiveSession()
-            if active:
-                active.stop()
-            spark = get_spark(cores=cores, app_name=f"bench_scaling_{cores}")
-            # warm-up: JVM/codegen/Python-worker pool
-            linkage_pairs_throughput(spark, max(50, n_conv // 20))
-            n_pairs, secs = linkage_pairs_throughput(spark, n_conv)
-            results[cores] = {
-                "pairs_scored": n_pairs,
-                "sec": round(secs, 2),
-                "pairs_per_sec": round(n_pairs / secs, 1),
-            }
-            spark.stop()
+    if args.one_shot_cores:
+        _one_shot(args.one_shot_cores, args.pairs_path,
+                  args.shuffle_partitions or 128)
+        return
+
+    if args.scaling:
+        import shutil
+        import subprocess
+        import tempfile
+
+        # the measured job is pair SCORING over a pre-materialized pair
+        # table (the BASELINE metric: candidate-pairs-scored/sec) — the
+        # same input and plan at both parallelism levels. Corpus is large
+        # enough that per-task work dominates fixed stage latency; each
+        # phase is a subprocess pinned to its core budget with taskset.
+        n_conv_scaling = args.n_conversations or max(4000, int(sf * 800000))
+        sp = 16 * args.n
+        scan_parts = 16 * 4 * args.n
+        have_taskset = shutil.which("taskset") is not None
+        tmpdir = tempfile.mkdtemp(prefix="bench_pairs_")
+        pairs_path = f"{tmpdir}/pairs"
+        try:
+            subprocess.run(
+                [sys.executable, __file__, "--prep-pairs",
+                 "--pairs-path", pairs_path,
+                 "--n-conversations", str(n_conv_scaling),
+                 "--shuffle-partitions", str(scan_parts)],
+                capture_output=True, text=True, check=True,
+            )
+            results = {}
+            for cores in (args.n, 4 * args.n):
+                cmd = []
+                if have_taskset:
+                    cmd = ["taskset", "-c", f"0-{cores - 1}"]
+                cmd += [
+                    sys.executable, __file__,
+                    "--one-shot-cores", str(cores),
+                    "--pairs-path", pairs_path,
+                    "--shuffle-partitions", str(sp),
+                ]
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True, check=True
+                )
+                results[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
+        finally:
+            shutil.rmtree(tmpdir, ignore_errors=True)
         lo, hi = args.n, 4 * args.n
         eff = results[hi]["pairs_per_sec"] / (4 * results[lo]["pairs_per_sec"])
         out = {
@@ -140,8 +257,9 @@ def main() -> None:
             "unit": "ratio",
             "n_cores": lo,
             "n4_cores": hi,
+            "pinned": have_taskset,
             "results": results,
-            "n_conversations": n_conv,
+            "n_conversations": n_conv_scaling,
         }
         print(json.dumps(out))
         return

@@ -154,7 +154,16 @@ def salt_and_cap(blocked: DataFrame, cap: int = 512) -> tuple[DataFrame, DataFra
     number of oversplit blocks — the 'never silently' part. One extra
     shuffle (groupBy block_key) whose result broadcasts back (block-size
     dim is tiny relative to data).
+
+    The input is persisted (memory, spill to disk) because it is scanned
+    twice — once for sizes, once for the salting join — and upstream
+    blocking includes a pandas UDF that must not run twice. In the
+    checkpointed pipeline the stage write supersedes this; for ad-hoc use
+    (bench, notebooks) it halves the blocking cost.
     """
+    from pyspark import StorageLevel
+
+    blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = blocked.groupBy("block_key").agg(F.count("*").alias("block_size"))
     big = sizes.where(F.col("block_size") > cap)
     salted = (

@@ -103,9 +103,17 @@ def candidate_pairs(blocked: DataFrame) -> DataFrame:
 
     Self-pairs within a conversation are kept (cross-conv and intra-conv
     linkage both count at 10^12-turn scale).
+
+    Shuffle discipline (this is the dominant shuffle of the pipeline):
+    the self-join and the dedup agg carry ONLY narrow columns
+    (ids + one double); the string/positional mention attributes are
+    re-attached after dedup by joining the per-mention attribute table —
+    at any scale that join is narrow-keyed and Catalyst broadcasts it
+    when the mention dictionary fits (AQE decides, nothing forced).
     """
-    a = blocked.alias("a")
-    b = blocked.alias("b")
+    slim = blocked.select("block_key", "mention_id", "cand_entity", "prob")
+    a = slim.alias("a")
+    b = slim.alias("b")
     raw = (
         a.join(b, "block_key")
         .where(F.col("a.mention_id") < F.col("b.mention_id"))
@@ -113,12 +121,6 @@ def candidate_pairs(blocked: DataFrame) -> DataFrame:
             F.col("block_key"),
             F.col("a.mention_id").alias("mention_id_a"),
             F.col("b.mention_id").alias("mention_id_b"),
-            F.col("a.conv_id").alias("conv_id_a"),
-            F.col("b.conv_id").alias("conv_id_b"),
-            F.col("a.turn_idx").alias("turn_idx_a"),
-            F.col("b.turn_idx").alias("turn_idx_b"),
-            F.col("a.ngram").alias("ngram_a"),
-            F.col("b.ngram").alias("ngram_b"),
             F.col("a.cand_entity").alias("cand_entity"),
             (
                 F.coalesce(F.col("a.prob"), F.lit(0.0))
@@ -126,16 +128,31 @@ def candidate_pairs(blocked: DataFrame) -> DataFrame:
             ).alias("agree_term"),
         )
     )
-    return raw.groupBy("mention_id_a", "mention_id_b").agg(
-        F.first("conv_id_a").alias("conv_id_a"),
-        F.first("conv_id_b").alias("conv_id_b"),
-        F.first("turn_idx_a").alias("turn_idx_a"),
-        F.first("turn_idx_b").alias("turn_idx_b"),
-        F.first("ngram_a").alias("ngram_a"),
-        F.first("ngram_b").alias("ngram_b"),
+    dedup = raw.groupBy("mention_id_a", "mention_id_b").agg(
         F.sum("agree_term").alias("prior_agreement"),
         F.max_by("cand_entity", "agree_term").alias("shared_entity"),
         F.min("block_key").alias("block_key"),
+    )
+    attrs = blocked.select(
+        "mention_id", "conv_id", "turn_idx", "ngram"
+    ).dropDuplicates(["mention_id"])
+    aa = attrs.select(
+        F.col("mention_id").alias("mention_id_a"),
+        F.col("conv_id").alias("conv_id_a"),
+        F.col("turn_idx").alias("turn_idx_a"),
+        F.col("ngram").alias("ngram_a"),
+    )
+    bb = attrs.select(
+        F.col("mention_id").alias("mention_id_b"),
+        F.col("conv_id").alias("conv_id_b"),
+        F.col("turn_idx").alias("turn_idx_b"),
+        F.col("ngram").alias("ngram_b"),
+    )
+    return dedup.join(aa, "mention_id_a").join(bb, "mention_id_b").select(
+        "mention_id_a", "mention_id_b",
+        "conv_id_a", "conv_id_b", "turn_idx_a", "turn_idx_b",
+        "ngram_a", "ngram_b",
+        "prior_agreement", "shared_entity", "block_key",
     )
 
 
