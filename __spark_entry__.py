@@ -666,6 +666,19 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN: seeded centroid sample → nearest-cell assignment
+    → n_probe cells per query → exact re-rank. Deterministic (md5-ordered
+    centroid choice), so fully oracle-checkable."""
+    from pboh_spark.ops.simsearch import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    return ivf_topk(emb, q, k=10, n_cells=16, n_probe=4, seed=42).select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 def ann_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed ANN (rows-only: hyperplanes are numpy constants
     folded into the plan, not SQL-expressible)."""
@@ -784,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": text_language_id,
         "text_fingerprint": text_fingerprint,
         "ann_cosine_topk": ann_cosine_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "pboh_resolve_lbp": pboh_resolve_lbp,
         "pboh_e2e_clusters": pboh_e2e_clusters,
@@ -1409,6 +1423,62 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         )
     """
+    def _cos(a: str, b: str) -> str:
+        dot = (f"(SELECT sum({a}[i]::DOUBLE * {b}[i]::DOUBLE) "
+               f"FROM UNNEST(range(1, 65)) AS t(i))")
+        na = (f"sqrt((SELECT sum({a}[i]::DOUBLE * {a}[i]::DOUBLE) "
+              f"FROM UNNEST(range(1, 65)) AS t(i)))")
+        nb = (f"sqrt((SELECT sum({b}[i]::DOUBLE * {b}[i]::DOUBLE) "
+              f"FROM UNNEST(range(1, 65)) AS t(i)))")
+        return f"{dot} / ({na} * {nb})"
+
+    ann_ivf = f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+            ORDER BY md5(vec_id::VARCHAR || '42') LIMIT 16
+        ),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 20),
+        assigned AS (
+            SELECT neighbor_id, cv, cid, {_cos('cv', 'cvec')} AS ccos
+            FROM c CROSS JOIN cents
+        ),
+        cell_of AS (
+            SELECT neighbor_id, cid, cv FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY neighbor_id ORDER BY ccos DESC, cid ASC) AS r
+                FROM assigned
+            ) WHERE r = 1
+        ),
+        qprobe AS (
+            SELECT query_id, qv, cid, {_cos('qv', 'cvec')} AS qcos
+            FROM q CROSS JOIN cents
+        ),
+        probes AS (
+            SELECT query_id, cid, qv FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY qcos DESC, cid ASC) AS r
+                FROM qprobe
+            ) WHERE r <= 4
+        ),
+        cand AS (
+            SELECT p.query_id, co.neighbor_id,
+                   {_cos('p.qv', 'co.cv')} AS cosine
+            FROM probes p JOIN cell_of co USING (cid)
+            WHERE co.neighbor_id <> p.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM cand
+        )
+        SELECT query_id, neighbor_id, round(cosine, 4) AS cosine,
+               rank::INT AS rank
+        FROM ranked WHERE rank <= 10
+    """
     return {
         "rel_q1_pricing_summary": q1,
         "rel_q3_top_orders": q3,
@@ -1447,6 +1517,7 @@ def oracle_sql() -> dict[str, str]:
         "text_language_id": lang,
         "text_fingerprint": fingerprint,
         "ann_cosine_topk": ann,
+        "ann_ivf_topk": ann_ivf,
         # rows-only (non-SQL-expressible): ann_lsh_topk (numpy hyperplanes),
         # pboh_resolve_lbp (iterative max-product), pboh_e2e_clusters
         # (pandas-UDF pipeline), multimodal_features (binary mapInPandas)

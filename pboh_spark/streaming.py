@@ -1,0 +1,139 @@
+"""Structured-Streaming ingest for transcript tables.
+
+The reference is batch-only (SURVEY.md §2.11) — every corpus arrives as
+static files. At 10^12-turn scale new conversations arrive continuously,
+so the engine also exposes the same stage-1 logic as an incremental
+pipeline:
+
+* ``stream_transcripts``    — file-source readStream with the exact
+  ``input_hint`` schema (new parquet files under a directory are the
+  micro-batches; swap for Kafka/Iceberg-CDC source on a real cluster).
+* ``streaming_mention_counts`` — watermarked tumbling-window aggregation
+  of mention surface counts (the streaming analogue of the name-stats
+  build; late turns beyond the watermark are dropped, counted by the
+  sink's metrics).
+* ``incremental_extract``   — foreachBatch ingest: per micro-batch run
+  the stage-1 mention extraction (stateless column exprs — identical
+  code path as batch) and append to the mentions table. Blocking/
+  scoring/clustering then run as periodic batch jobs over the appended
+  table — the standard lambda-architecture split for record linkage,
+  because transitive clustering is a global fixpoint and does not
+  stream.
+
+Everything below is exercised with ``trigger(availableNow=True)`` in
+tests — the bounded-drain mode that processes all pending files and
+stops, which is also the right production shape for catch-up runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pboh_spark.normalize import extract_mentions
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+def stream_transcripts(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of transcript turns (one micro-batch per new
+    parquet file set). Schema is fixed — no inference on the hot path."""
+    reader = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def streaming_mention_counts(
+    turns: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window mention-surface counts — incremental
+    name statistics. Late rows beyond ``watermark`` are dropped (state
+    stays bounded: #windows × #surfaces, not #turns)."""
+    mentions = turns.withWatermark("ts", watermark).select(
+        F.col("ts"),
+        F.explode(
+            F.expr(
+                "regexp_extract_all(text, '[A-Z][a-z]*(?: [A-Z][a-z]*)*', 0)"
+            )
+        ).alias("surface"),
+    )
+    return (
+        mentions.withColumn("ngram", F.lower(F.col("surface")))
+        .groupBy(F.window("ts", window).alias("w"), F.col("ngram"))
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "ngram",
+            "freq",
+        )
+    )
+
+
+def incremental_extract(
+    turns_stream: DataFrame,
+    mentions_out: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """foreachBatch ingest: stage-1 mention extraction per micro-batch,
+    appended to the mentions table. Exactly-once via the streaming
+    checkpoint (batch id replay is idempotent because mention_id is a
+    content hash). Returns the started StreamingQuery."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract_mentions(batch_df)
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(mentions_out)
+
+    writer = (
+        turns_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_window_counts_to_memory(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_dir: str,
+    query_name: str = "mention_counts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Drain all pending files through the windowed agg into an in-memory
+    sink (complete mode) — the test/inspection harness for the streaming
+    path. Returns the started query; read results from
+    ``spark.table(query_name)`` after awaitTermination."""
+    counts = streaming_mention_counts(
+        stream_transcripts(spark, input_path), window, watermark
+    )
+    return (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,71 @@
+"""Streaming ingest: incremental mention extraction (foreachBatch) and
+watermarked windowed mention counts, drained with availableNow triggers.
+Oracle = the batch path over the same files (streaming/batch parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pboh_spark import streaming, synth
+from pboh_spark.normalize import extract_mentions
+
+
+def _write_two_chunks(spark, universe, base):
+    t, _ = synth.generate_transcripts(spark, 60, universe=universe)
+    t = t.cache()
+    c1 = t.where(F.col("conv_id") < "c00000030")
+    c2 = t.where(F.col("conv_id") >= "c00000030")
+    c1.write.mode("overwrite").parquet(f"{base}/in/chunk1")
+    # file-source streams watch ONE directory tree; two subdirs = two
+    # independent file sets the availableNow drain picks up together
+    c2.write.mode("overwrite").parquet(f"{base}/in/chunk2")
+    return t
+
+
+def test_incremental_extract_matches_batch(spark, universe, tmp_path):
+    base = str(tmp_path)
+    t = _write_two_chunks(spark, universe, base)
+    stream = streaming.stream_transcripts(spark, f"{base}/in/*")
+    assert stream.isStreaming
+    q = streaming.incremental_extract(
+        stream, f"{base}/mentions", f"{base}/ck1"
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(f"{base}/mentions")
+    want = extract_mentions(t)
+    assert got.count() == want.count()
+    # identical mention sets (mention_id is a content hash)
+    assert (
+        got.select("mention_id")
+        .exceptAll(want.select("mention_id"))
+        .count()
+        == 0
+    )
+    # second drain with same checkpoint: no new files ⇒ no new rows
+    q2 = streaming.incremental_extract(
+        streaming.stream_transcripts(spark, f"{base}/in/*"),
+        f"{base}/mentions",
+        f"{base}/ck1",
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{base}/mentions").count() == want.count()
+
+
+def test_windowed_counts_match_batch(spark, universe, tmp_path):
+    base = str(tmp_path)
+    t = _write_two_chunks(spark, universe, base)
+    q = streaming.run_window_counts_to_memory(
+        spark, f"{base}/in/*", f"{base}/ck2", query_name="mc_test"
+    )
+    q.awaitTermination(120)
+    got = spark.table("mc_test")
+    want = (
+        extract_mentions(t)
+        .join(t.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"])
+        .groupBy(F.window("ts", "1 hour").alias("w"), "ngram")
+        .agg(F.count("*").alias("freq"))
+        .select(F.col("w.start").alias("window_start"), "ngram", "freq")
+    )
+    j = got.select("window_start", "ngram", "freq").exceptAll(want)
+    assert j.count() == 0
+    assert got.count() == want.count()
