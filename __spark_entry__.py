@@ -440,9 +440,10 @@ def stat_lambda_potential(spark, sf_dir):
 
     anchors = _anchors(spark, sf_dir)
     es = stats.entity_stats(anchors)
-    scalars = stats.corpus_scalars(anchors)
+    cooc1 = stats.cooccurrence(anchors, min_cocit=1).persist()
+    scalars = stats.corpus_scalars(anchors, cooc=cooc1)
     lam = stats.with_lambda_potential(
-        stats.cooccurrence(anchors, min_cocit=2), es, scalars
+        cooc1.where(F.col("cocit") >= 2), es, scalars
     )
     return lam.select(
         "e1", "e2", F.col("cocit").cast("bigint").alias("cocit"),

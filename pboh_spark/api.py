@@ -1,0 +1,153 @@
+"""User-facing entity-linking API — the analogue of the reference's only
+public surface, ``EntityLinkingAPI`` (console_el/ConsoleEntityLinking.
+scala:114-138): given the mentions of ONE document/conversation (plus
+optional already-known context entities), return the jointly-resolved
+entity per mention.
+
+Reference parity:
+* mentions arrive as a list of surface strings (comma-split in the
+  console REPL, :44-91)
+* known context entities are appended as pseudo-mentions that only
+  contribute pairwise evidence (offsets ≥ 10^6 trick, :82-87) — here a
+  candidate row with a single fixed candidate and rho = 0
+* resolution = the same bounded max-product / sum-product kernel the
+  batch pipeline uses (resolve._solve_conv)
+* returns ALL predictions with scores (correct+wrong, :133-137)
+
+The statistics inputs are the engine's stage-2 tables (name_stats /
+entity_stats / lambda table + scalars) — load them once, link many.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pboh_spark.resolve import LAMBDA_FLOOR, _pack, _solve_conv
+from pboh_spark.stats import ScorerWeights
+
+
+@dataclass
+class Annotation:
+    """≙ eval/Annotation.scala:12-28 (minus file path)."""
+
+    mention: str
+    entity: int
+    score: float
+    converged: bool
+
+
+class EntityLinker:
+    """Driver-side linker over broadcast-sized statistics tables.
+
+    Built from stage-2 DataFrames via ``EntityLinker.from_tables`` —
+    collects them once (they are dimension tables: bounded by the
+    surface-form dictionary, not the corpus). For corpus-scale linking
+    use resolve.resolve_entities (the distributed path); this class is
+    the interactive/serving shape (one conversation per call).
+    """
+
+    def __init__(
+        self,
+        name_candidates: dict[str, list[tuple[int, float]]],
+        log_pop: dict[int, float],
+        lam_map: dict[int, float],
+        lam_const: float = LAMBDA_FLOOR,
+        weights: ScorerWeights | None = None,
+    ):
+        self.name_candidates = name_candidates
+        self.log_pop = log_pop
+        self.lam_map = lam_map
+        self.lam_const = lam_const
+        self.weights = weights or ScorerWeights()
+
+    @classmethod
+    def from_tables(
+        cls,
+        name_stats,
+        entity_stats,
+        lambda_table,
+        scalars: dict[str, int] | None = None,
+        top_k: int = 10,
+        weights: ScorerWeights | None = None,
+    ) -> "EntityLinker":
+        w = weights or ScorerWeights()
+        cand: dict[str, list[tuple[int, float]]] = {}
+        for r in (
+            name_stats.where(f"rank <= {top_k}")
+            .select("name", "entity", "prob")
+            .collect()
+        ):
+            cand.setdefault(r["name"], []).append((int(r["entity"]), float(r["prob"])))
+        pop = {
+            int(r["entity"]): float(r["log_pop"])
+            for r in entity_stats.select("entity", "log_pop").collect()
+        }
+        lam = {
+            int(_pack(np.array([r["e1"]]), np.array([r["e2"]]))[0]): float(
+                r["lambda_potential"]
+            )
+            for r in lambda_table.select("e1", "e2", "lambda_potential").collect()
+        }
+        if scalars:
+            n = float(max(scalars.get("num_total_pairs", 1), 1))
+            d = float(max(scalars.get("num_distinct_pairs", 1), 1))
+            backoff = max(n - w.delta_cocit * d, 1e-9) / n
+            lam_const = float(np.log(backoff) - np.log(n))
+        else:
+            lam_const = LAMBDA_FLOOR
+        return cls(cand, pop, lam, lam_const, w)
+
+    def link(
+        self,
+        mentions: list[str],
+        context_entities: list[int] | None = None,
+        max_product: bool = True,
+    ) -> list[Annotation]:
+        """Jointly link one conversation's mentions. Unknown mentions
+        (no dictionary candidates) are returned with entity −1
+        (≙ VerifyEDAbstract.scala:58-78 exclusion path)."""
+        norm = [m.lower() for m in mentions]
+        known = [(i, self.name_candidates[n]) for i, n in enumerate(norm)
+                 if n in self.name_candidates]
+        out: list[Annotation] = [
+            Annotation(m, -1, float("nan"), True) for m in mentions
+        ]
+        if not known:
+            return out
+        ctx = list(dict.fromkeys(context_entities or []))
+        L = len(known) + len(ctx)
+        K = max(
+            max(len(c) for _, c in known),
+            1,
+        )
+        ents = np.full((L, K), -1, dtype=np.int64)
+        rho = np.full((L, K), -1.0e30)
+        logpop = np.zeros((L, K))
+        for row, (_, cands) in enumerate(known):
+            # deterministic candidate order: entity asc (stable tie-break)
+            for col, (eid, prob) in enumerate(sorted(cands)[:K]):
+                ents[row, col] = eid
+                rho[row, col] = float(np.log(max(prob, 1e-300)))
+                logpop[row, col] = self.log_pop.get(eid, 0.0)
+        # context entities = pseudo-mentions pinned to one candidate with
+        # neutral unary evidence (console_el offsets ≥ 10^6 trick)
+        for j, eid in enumerate(ctx):
+            row = len(known) + j
+            ents[row, 0] = eid
+            rho[row, 0] = 0.0
+            logpop[row, 0] = self.log_pop.get(eid, 0.0)
+        best, score, _iters, conv = _solve_conv(
+            ents, rho, self.lam_map, self.weights, max_product,
+            logpop=logpop, lam_const=self.lam_const,
+        )
+        for row, (i, _) in enumerate(known):
+            out[i] = Annotation(
+                mentions[i],
+                int(ents[row, best[row]]),
+                float(score[row]),
+                bool(conv),
+            )
+        return out

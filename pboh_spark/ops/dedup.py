@@ -121,17 +121,18 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(
+def minhash_signatures_wide(
     docs: DataFrame,
     text_col: str = "text",
     k: int = 3,
     n_hashes: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """(doc_id, hash_idx, minhash) — universal-hash minhash over word
-    shingles, entirely in column expressions: the i-th hash of shingle s
-    is (a_i·H(s) + b_i) mod p with H = md5-prefix int. groupBy(min) per
-    (doc, i). SQL-reproducible (no Python in the loop)."""
+    """(doc_id, mh_0 … mh_{n-1}) — universal-hash minhash over word
+    shingles: the i-th hash of shingle s is (a_i·H(s) + b_i) mod p with
+    H = md5-prefix int. All n minimums are computed as n agg columns in
+    ONE groupBy over the shingle rows — the naive explode-per-hash shape
+    shuffles n× the shingle data for the same answer."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -139,25 +140,28 @@ def minhash_signatures(
     a = rng.integers(1, p, size=n_hashes).tolist()
     b = rng.integers(0, p, size=n_hashes).tolist()
     sh = word_shingles(docs, text_col, k).withColumn("h", _h32(F.col("shingle")))
-    params = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"), F.lit(a[i]).alias("a"), F.lit(b[i]).alias("b")
-            )
-            for i in range(n_hashes)
-        ]
-    )
-    return (
-        sh.select(
-            "doc_id", "h", F.explode(params).alias("p")
-        )
-        .select(
-            "doc_id",
-            F.col("p.i").alias("hash_idx"),
-            ((F.col("p.a") * F.col("h") + F.col("p.b")) % F.lit(p)).alias("hv"),
-        )
-        .groupBy("doc_id", "hash_idx")
-        .agg(F.min("hv").alias("minhash"))
+    mins = [
+        F.min((F.lit(a[i]) * F.col("h") + F.lit(b[i])) % F.lit(p)).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, hash_idx, minhash) — long-form view of
+    ``minhash_signatures_wide`` (stack-unpivoted; same one-shuffle plan).
+    SQL-reproducible (no Python anywhere)."""
+    wide = minhash_signatures_wide(docs, text_col, k, n_hashes, seed)
+    stack = ", ".join(f"{i}, mh_{i}" for i in range(n_hashes))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({n_hashes}, {stack}) as (hash_idx, minhash)"),
     )
 
 
@@ -171,18 +175,34 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs via banded minhash: band key = hash of the
     band's signature rows; docs sharing any band key pair up. Returns
-    (doc_id_a, doc_id_b, n_shared_bands)."""
-    sig = minhash_signatures(docs, text_col, k, n_hashes, seed)
+    (doc_id_a, doc_id_b, n_shared_bands). Band keys come straight off the
+    wide signature row — no second shuffle between signatures and bands."""
+    wide = minhash_signatures_wide(docs, text_col, k, n_hashes, seed)
     rows_per_band = n_hashes // n_bands
-    banded = (
-        sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(",", F.sort_array(F.collect_list("minhash")))
-            ).alias("band_key")
-        )
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.sort_array(
+                            F.array(
+                                *[
+                                    F.col(f"mh_{bi * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ]
+                            )
+                        ),
+                    )
+                ).alias("band_key"),
+            )
+            for bi in range(n_bands)
+        ]
     )
+    banded = wide.select(
+        "doc_id", F.explode(bands_arr).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (

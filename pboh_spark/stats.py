@@ -93,27 +93,36 @@ def entity_stats(anchors: DataFrame) -> DataFrame:
     )
 
 
-def corpus_scalars(anchors: DataFrame) -> dict[str, int]:
+def corpus_scalars(
+    anchors: DataFrame, cooc: DataFrame | None = None
+) -> dict[str, int]:
     """num_total_links / num_total_pairs / num_distinct_pairs —
     ≙ EntityCooccurrenceIndex.scala:37-44,56-106 (their distinct-pair
-    count was a dedicated 112-core Spark job; here it is one agg)."""
+    count was a dedicated 112-core Spark job; here it is one agg).
+
+    Pass the unpruned ``cooccurrence(anchors, min_cocit=1)`` table as
+    ``cooc`` when it is being built anyway: its row count IS the
+    distinct-pair count, saving a second (doc,entity) self-join — the
+    dominant cost of this function at scale."""
     doc_sizes = anchors.groupBy("doc_id").agg(F.count("*").alias("n_d"))
     row = doc_sizes.agg(
         F.sum("n_d").alias("links"),
         F.sum(F.col("n_d") * (F.col("n_d") - 1)).alias("pairs"),
     ).collect()[0]
     # distinct entity pairs (A7) — the reference ran a dedicated 112-core
-    # Spark job for this count (EntityCooccurrenceIndex.scala:56-106);
-    # here: one distinct+count over the (doc,entity) self-join.
-    de = anchors.select("doc_id", "entity").distinct()
-    n_dist = (
-        de.alias("a")
-        .join(de.alias("b"), "doc_id")
-        .where(F.col("a.entity") < F.col("b.entity"))
-        .select("a.entity", "b.entity")
-        .distinct()
-        .count()
-    )
+    # Spark job for this count (EntityCooccurrenceIndex.scala:56-106)
+    if cooc is not None:
+        n_dist = cooc.count()
+    else:
+        de = anchors.select("doc_id", "entity").distinct()
+        n_dist = (
+            de.alias("a")
+            .join(de.alias("b"), "doc_id")
+            .where(F.col("a.entity") < F.col("b.entity"))
+            .select("a.entity", "b.entity")
+            .distinct()
+            .count()
+        )
     return {
         "num_total_links": int(row["links"]),
         "num_total_pairs": int(row["pairs"]),

@@ -1,0 +1,59 @@
+"""EntityLinker API — the console EntityLinkingAPI analogue: joint
+linking of one conversation's mentions, context-entity steering,
+unknown-mention exclusion."""
+
+from __future__ import annotations
+
+from pboh_spark import stats, synth
+from pboh_spark.api import EntityLinker
+
+
+def _linker(spark, universe, anchors):
+    ns = stats.name_stats(anchors)
+    es = stats.entity_stats(anchors)
+    cooc = stats.cooccurrence(anchors).persist()
+    scalars = stats.corpus_scalars(anchors, cooc=cooc)
+    lam = stats.with_lambda_potential(cooc, es, scalars)
+    return EntityLinker.from_tables(ns, es, lam, scalars)
+
+
+def test_canonical_names_link_to_gold(spark, universe, anchors):
+    linker = _linker(spark, universe, anchors)
+    # canonical surfaces are unambiguous in the anchor corpus
+    names = [universe.canonical[e] for e in (0, 1, 2)]
+    anns = linker.link(names)
+    assert [a.entity for a in anns] == [0, 1, 2]
+    assert all(a.converged for a in anns)
+
+
+def test_unknown_mention_excluded(spark, universe, anchors):
+    linker = _linker(spark, universe, anchors)
+    anns = linker.link(["Zzqx Qwortle", universe.canonical[5]])
+    assert anns[0].entity == -1
+    assert anns[1].entity == 5
+
+
+def test_context_entities_steer_ambiguous_mention(spark, universe, anchors):
+    """An ambiguous alias should resolve toward the entity co-occurring
+    with the supplied context — the pairwise potential at work
+    (≙ consoleJustOutput context mode)."""
+    linker = _linker(spark, universe, anchors)
+    # find an alias whose candidate list has ≥2 entities (ambiguous)
+    ambiguous = [
+        (n, c) for n, c in linker.name_candidates.items() if len(c) >= 2
+    ]
+    assert ambiguous, "anchor noise should create ambiguous names"
+    name, cands = max(
+        ambiguous, key=lambda nc: min(p for _, p in nc[1])
+    )
+    cands_sorted = sorted(cands, key=lambda ep: -ep[1])
+    runner_up = cands_sorted[1][0]
+    # context = entities sharing the runner-up's topic (strong cocit)
+    topic = universe.topic_of[runner_up]
+    ctx = [int(e) for e in universe.topics[topic] if e != runner_up][:4]
+    with_ctx = linker.link([name], context_entities=ctx)[0]
+    no_ctx = linker.link([name])[0]
+    # with topical context the joint score must not pick a cross-topic
+    # entity over the runner-up's topic when context says otherwise
+    assert with_ctx.entity in {e for e, _ in cands}
+    assert no_ctx.entity == cands_sorted[0][0]
