@@ -92,6 +92,53 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+def surface_nodes(mentions: DataFrame) -> DataFrame:
+    """Distinct-surface projection of the mention table:
+    (mention_id = surface hash, ngram, conv_id = null, turn_idx = null,
+    tokens) — shaped exactly like a mention row so the whole
+    blocking → pairs → scoring → CC stack runs on it unchanged.
+
+    This is THE corpus-size decoupling at 10^12 turns: every pair
+    feature (JW/Levenshtein/Jaccard/candidate priors) is a function of
+    the two surface STRINGS, so scoring a surface pair once is exact —
+    the instance-level pipeline scores the same string pair once per
+    co-blocked occurrence pair. Distinct surfaces are bounded by the
+    language (~10^7-10^8), not the corpus, so the pair space stops
+    growing with data. Instances rejoin by surface equality afterwards
+    (surface_clusters_to_mentions)."""
+    return (
+        mentions.select("ngram")
+        .distinct()
+        .select(
+            F.xxhash64("ngram").alias("mention_id"),
+            "ngram",
+            F.lit(None).cast("string").alias("conv_id"),
+            F.lit(None).cast("int").alias("turn_idx"),
+            F.split(F.col("ngram"), " ").alias("tokens"),
+        )
+    )
+
+
+def surface_clusters_to_mentions(
+    mentions: DataFrame, surface_components: DataFrame
+) -> DataFrame:
+    """Expand surface-level components back to mention instances:
+    (mention_id, conv_id, turn_idx, ngram, cluster_id). Mentions whose
+    surface formed no edge still share their surface hash as cluster_id,
+    so identical surfaces always co-cluster — strictly at-least-as-good
+    recall as the instance-level path."""
+    comp = surface_components.withColumnRenamed("id", "surface_id")
+    return (
+        mentions.select("mention_id", "conv_id", "turn_idx", "ngram")
+        .withColumn("surface_id", F.xxhash64("ngram"))
+        .join(comp, "surface_id", "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("surface_id"))
+        )
+        .drop("surface_id")
+    )
+
+
 def candidate_pairs(blocked: DataFrame) -> DataFrame:
     """Within-block self-join (mention_id_a < mention_id_b), deduplicated
     across blocks with per-pair aggregation:

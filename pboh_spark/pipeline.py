@@ -34,15 +34,35 @@ def run_pipeline(
     block_cap: int = 512,
     top_k: int = 10,
     with_lbp: bool = True,
+    surface_mode: bool = False,
 ) -> dict:
     """Full run; returns metrics dict. All stages via StageCheckpointer —
     re-invoking with the same out_dir resumes after the last complete
-    stage."""
+    stage.
+
+    ``surface_mode`` switches stages 3-6 to the distinct-surface graph
+    (pairs.surface_nodes): pair features depend only on the surface
+    strings, so each distinct pair is scored once and cluster labels are
+    joined back to instances — the pair space is bounded by the surface
+    dictionary, not the corpus (the 10^12-turn path)."""
     ck = StageCheckpointer(spark, out_dir)
     t0 = time.time()
+    # surface-mode stages get distinct names — a mode switch on an
+    # existing out_dir must rebuild, not silently reuse the other mode's
+    # checkpoints (stage fingerprints cover upstream data, not builders)
+    sfx = "_surf" if surface_mode else ""
 
     mentions = ck.run_stage(
         "s1_mentions", lambda: normalize.extract_mentions(transcripts)
+    )
+    link_nodes = (
+        ck.run_stage(
+            "s1_surfaces",
+            lambda: pairs_mod.surface_nodes(mentions),
+            upstream=["s1_mentions"],
+        )
+        if surface_mode
+        else mentions
     )
     name_stats = ck.run_stage("s2_name_stats", lambda: stats.name_stats(anchors))
     ent_stats = ck.run_stage("s2_entity_stats", lambda: stats.entity_stats(anchors))
@@ -56,35 +76,39 @@ def run_pipeline(
     )
 
     def build_blocked() -> DataFrame:
-        cb = blocking.candidate_blocks(mentions, name_stats, top_k=top_k)
-        mh = blocking.minhash_blocks(mentions, name_stats, oov_only=True)
+        cb = blocking.candidate_blocks(link_nodes, name_stats, top_k=top_k)
+        mh = blocking.minhash_blocks(link_nodes, name_stats, oov_only=True)
         salted, _ = blocking.salt_and_cap(cb.unionByName(mh), cap=block_cap)
         return salted
 
     blocked = ck.run_stage(
-        "s3_blocked",
+        f"s3_blocked{sfx}",
         build_blocked,
         upstream=["s1_mentions", "s2_name_stats"],
         repartition_by="block_key",
     )
 
     scored = ck.run_stage(
-        "s4_pairs",
+        f"s4_pairs{sfx}",
         lambda: pairs_mod.score_pairs(
             pairs_mod.candidate_pairs(blocked), lam, threshold=threshold
         ),
-        upstream=["s3_blocked", "s2_lambda"],
+        upstream=[f"s3_blocked{sfx}", "s2_lambda"],
     )
 
     components = ck.run_stage(
-        "s6_components",
+        f"s6_components{sfx}",
         lambda: cluster.connected_components(scored.where("is_match_pred")),
-        upstream=["s4_pairs"],
+        upstream=[f"s4_pairs{sfx}"],
     )
     clusters = ck.run_stage(
-        "s6_clusters",
-        lambda: cluster.clusters_table(mentions, components),
-        upstream=["s6_components", "s1_mentions"],
+        f"s6_clusters{sfx}",
+        lambda: (
+            pairs_mod.surface_clusters_to_mentions(mentions, components)
+            if surface_mode
+            else cluster.clusters_table(mentions, components)
+        ),
+        upstream=[f"s6_components{sfx}", "s1_mentions"],
     )
 
     metrics: dict = {"stages": ck.summary(), "wall_sec": round(time.time() - t0, 2)}
@@ -130,6 +154,11 @@ def main() -> None:
     ap.add_argument("--n-conversations", type=int, default=2000)
     ap.add_argument("--threshold", type=float, default=0.65)
     ap.add_argument("--evaluate", action="store_true", help="pairwise F1 vs synth gold")
+    ap.add_argument(
+        "--surface-mode", action="store_true",
+        help="link distinct surfaces, expand labels to instances (the "
+             "web-scale path; see SCALE.md)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(cores=args.cores, app_name="pboh_pipeline")
@@ -146,13 +175,32 @@ def main() -> None:
         if args.anchors
         else synth.generate_anchors(spark, max(args.n_conversations * 2, 4000), universe=uni)
     )
-    metrics = run_pipeline(spark, transcripts, anchors, args.out, args.threshold)
+    metrics = run_pipeline(
+        spark, transcripts, anchors, args.out, args.threshold,
+        surface_mode=args.surface_mode,
+    )
 
     if args.evaluate and gold is not None:
+        from pboh_spark import stats
+
         ck = StageCheckpointer(spark, args.out)
-        blocked = spark.read.parquet(str(ck._paths("s3_blocked")[0]))
-        comp = spark.read.parquet(str(ck._paths("s6_components")[0]))
-        lp = evaluate.build_labeled_pairs(gold, blocked)
+        if args.surface_mode:
+            # blocked rows are surface-level (null conv/turn): build the
+            # labeled pairs at the instance-level candidate blocking key
+            # and judge the expanded clusters on them
+            mentions = spark.read.parquet(str(ck._paths("s1_mentions")[0]))
+            ns = stats.name_stats(anchors)
+            lp = evaluate.build_labeled_pairs(
+                gold, blocking.candidate_blocks(mentions, ns)
+            )
+            clusters = spark.read.parquet(str(ck._paths("s6_clusters_surf")[0]))
+            comp = clusters.select(
+                F.col("mention_id").alias("id"), F.col("cluster_id")
+            )
+        else:
+            blocked = spark.read.parquet(str(ck._paths("s3_blocked")[0]))
+            comp = spark.read.parquet(str(ck._paths("s6_components")[0]))
+            lp = evaluate.build_labeled_pairs(gold, blocked)
         metrics["pairwise"] = evaluate.pairwise_f1(lp, comp)
     print(json.dumps(metrics, indent=1, default=str))
 
