@@ -740,6 +740,29 @@ def pboh_e2e_clusters(spark, sf_dir):
     )
 
 
+def pboh_surface_clusters(spark, sf_dir):
+    """Surface-mode linkage (the 10^12-turn path, SCALE.md): distinct
+    surfaces blocked/scored once, cluster labels expanded to instances."""
+    from pboh_spark import blocking, cluster, stats, synth
+    from pboh_spark import pairs as pairs_mod
+    from pboh_spark.normalize import extract_mentions
+
+    uni = synth.EntityUniverse()
+    transcripts, _ = synth.generate_transcripts(spark, 40, universe=uni)
+    anchors = synth.generate_anchors(spark, 800, universe=uni)
+    mentions = extract_mentions(transcripts)
+    nodes = pairs_mod.surface_nodes(mentions)
+    ns = stats.name_stats(anchors)
+    cb = blocking.candidate_blocks(nodes, ns, top_k=10)
+    mh = blocking.minhash_blocks(nodes, ns, oov_only=True)
+    salted, _ = blocking.salt_and_cap(cb.unionByName(mh), cap=512)
+    scored = pairs_mod.score_pairs(pairs_mod.candidate_pairs(salted))
+    comp = cluster.connected_components(scored.where("is_match_pred"))
+    return pairs_mod.surface_clusters_to_mentions(mentions, comp).select(
+        "mention_id", "conv_id", "turn_idx", "ngram", "cluster_id"
+    )
+
+
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads → mapInPandas feature extraction
     (decode stubbed deterministically; rows-only)."""
@@ -802,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "pboh_resolve_lbp": pboh_resolve_lbp,
         "pboh_e2e_clusters": pboh_e2e_clusters,
+        "pboh_surface_clusters": pboh_surface_clusters,
         "multimodal_features": multimodal_features,
     }
 
