@@ -107,7 +107,9 @@ def linkage_pairs_throughput(
     row = scored.agg(
         F.count("*").alias("n"), F.sum("score").alias("chk")
     ).collect()[0]
-    return int(row["n"]), time.time() - t0
+    dt = time.time() - t0
+    blocking.release_persisted()  # don't accumulate cached blocked tables
+    return int(row["n"]), dt
 
 
 def _prep_pairs(n_conv: int, out_path: str, partitions: int) -> None:

@@ -35,6 +35,20 @@ N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 _MERSENNE = np.uint64((1 << 61) - 1)
 
+# DataFrames persisted internally (salt_and_cap); callers running many
+# blocking passes in one session call release_persisted() between passes
+# so the cached blocked tables don't accumulate for the session lifetime
+_PERSISTED: list = []
+
+
+def release_persisted() -> None:
+    """Unpersist every DataFrame this module cached (blocking=False)."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+
 
 def _minhash_params(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
@@ -164,6 +178,7 @@ def salt_and_cap(blocked: DataFrame, cap: int = 512) -> tuple[DataFrame, DataFra
     from pyspark import StorageLevel
 
     blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(blocked)
     sizes = blocked.groupBy("block_key").agg(F.count("*").alias("block_size"))
     big = sizes.where(F.col("block_size") > cap)
     salted = (

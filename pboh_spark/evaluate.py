@@ -31,11 +31,18 @@ def build_labeled_pairs(
 
     is_match = (same gold entity).
     """
-    gm = gold_mentions.select(
-        "conv_id",
-        "turn_idx",
-        F.lower(F.col("surface")).alias("ngram"),
-        F.col("entity").alias("gold_entity"),
+    gm = (
+        gold_mentions.select(
+            "conv_id",
+            "turn_idx",
+            F.lower(F.col("surface")).alias("ngram"),
+            F.col("entity").alias("gold_entity"),
+        )
+        # one gold entity per (conv, turn, surface): duplicate-surface
+        # turns would otherwise fan out the join and leave is_match
+        # nondeterministic after the pair dedup; min() is the stable pick
+        .groupBy("conv_id", "turn_idx", "ngram")
+        .agg(F.min("gold_entity").alias("gold_entity"))
     )
     blocked = blocked_mentions.join(
         gm, ["conv_id", "turn_idx", "ngram"], "inner"

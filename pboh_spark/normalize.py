@@ -56,16 +56,39 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
     ``mention_id`` is a deterministic hash of the identifying quadruple
     (stable under any partitioning; used as the cluster-id tie-break).
     """
+    # exact per-occurrence offsets: text = seg0+m0+seg1+m1+…+segN where
+    # segs = split(text, RE) and ms = regexp_extract_all(text, RE), so
+    # offset(m_k) = Σ len(seg_0..k) + Σ len(m_0..k-1). instr() would
+    # return the FIRST occurrence for every repeat ("Alice met Alice").
+    segs = F.split(F.col("text"), MENTION_RE)
+    surfs = F.expr(f"regexp_extract_all(text, '{MENTION_RE}', 0)")
+    seg_len = lambda k: F.aggregate(  # noqa: E731
+        F.slice(segs, 1, k), F.lit(0), lambda a, s: a + F.length(s)
+    )
+    m_len = lambda k: F.aggregate(  # noqa: E731
+        F.slice(surfs, 1, k), F.lit(0), lambda a, s: a + F.length(s)
+    )
+    # guard: sequence(1, 0) would count DOWN ([1,0]) on mention-less turns
+    offsets = F.when(
+        F.size(surfs) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size(surfs)),
+            lambda k: seg_len(k) + m_len(k - 1),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     m = (
         transcripts.select(
             "conv_id",
             "turn_idx",
-            F.posexplode(F.expr(f"regexp_extract_all(text, '{MENTION_RE}', 0)")).alias(
-                "pos", "surface"
-            ),
-            F.col("text"),
+            F.posexplode(F.arrays_zip(surfs, offsets)).alias("pos", "z"),
         )
-        .withColumn("offset", F.expr("instr(text, surface)") - F.lit(1))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "pos",
+            F.col("z.0").alias("surface"),
+            F.col("z.1").alias("offset"),
+        )
         .withColumn("ngram", F.lower(F.col("surface")))
         .withColumn("length", F.length("surface"))
         .withColumn(

@@ -239,13 +239,40 @@ def score_pairs(
     # compatibility in proportion to its posterior mass on both sides —
     # the self-cocitation analogue of lambda(e,e) (ScorerFull.scala:207-227);
     # a weak (noise-driven) shared candidate must not earn the full bonus.
+    agree_part = F.least(F.col("prior_agreement") * 4.0, F.lit(1.0))
+    if lambda_pairs is not None:
+        # corpus evidence: the shared entity's diagonal PMI potential
+        # lambda(e,e), min-max scaled to [0,1] over the entity catalog —
+        # frequently-self-cocited entities make a shared candidate more
+        # convincing than tail entities with accidental shared mass
+        diag = lambda_pairs.where(F.col("e1") == F.col("e2")).select(
+            F.col("e1").alias("shared_entity"),
+            F.col("lambda_potential").alias("lam_ee"),
+        )
+        rng = diag.agg(
+            F.min("lam_ee").alias("lam_lo"), F.max("lam_ee").alias("lam_hi")
+        )
+        diag = diag.crossJoin(F.broadcast(rng)).select(
+            "shared_entity",
+            (
+                (F.col("lam_ee") - F.col("lam_lo"))
+                / F.greatest(F.col("lam_hi") - F.col("lam_lo"), F.lit(1e-9))
+            ).alias("lam_scaled"),
+        )
+        scored = scored.join(F.broadcast(diag), "shared_entity", "left")
+        lam_term = 0.75 * agree_part + 0.25 * F.coalesce(
+            F.col("lam_scaled"), F.lit(0.5)
+        )
+    else:
+        lam_term = agree_part
     scored = scored.withColumn(
         "lambda_norm",
-        F.when(
-            F.col("shared_entity").isNotNull(),
-            F.least(F.col("prior_agreement") * 4.0, F.lit(1.0)),
-        ).otherwise(F.lit(0.0)),
+        F.when(F.col("shared_entity").isNotNull(), lam_term).otherwise(
+            F.lit(0.0)
+        ),
     )
+    if lambda_pairs is not None:
+        scored = scored.drop("lam_scaled")
     score = (
         F.lit(w_jw) * F.col("jaro_winkler")
         + F.lit(w_lev) * F.col("levenshtein_sim")

@@ -66,13 +66,15 @@ def run_pipeline(
     )
     name_stats = ck.run_stage("s2_name_stats", lambda: stats.name_stats(anchors))
     ent_stats = ck.run_stage("s2_entity_stats", lambda: stats.entity_stats(anchors))
-    scalars = stats.corpus_scalars(anchors)
+    # the checkpointed co-occurrence table doubles as the distinct-pair
+    # count for the lambda backoff scalar — no second (doc,entity)
+    # self-join, and on resume the count is a parquet metadata read
+    cooc = ck.run_stage("s2_cooc", lambda: stats.cooccurrence(anchors))
+    scalars = stats.corpus_scalars(anchors, cooc=cooc)
     lam = ck.run_stage(
         "s2_lambda",
-        lambda: stats.with_lambda_potential(
-            stats.cooccurrence(anchors), ent_stats, scalars
-        ),
-        upstream=["s2_entity_stats"],
+        lambda: stats.with_lambda_potential(cooc, ent_stats, scalars),
+        upstream=["s2_entity_stats", "s2_cooc"],
     )
 
     def build_blocked() -> DataFrame:

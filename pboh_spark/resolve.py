@@ -70,10 +70,23 @@ def _solve_conv(
     converged). Brute-force-verifiable on tiny graphs (tests §8)."""
     L, K = ents.shape
     valid = ents >= 0
+    # guard the 32-bit pair packing: ids ≥ 2^32 would silently collide in
+    # _pack and probe another pair's lambda (utils/Utils.scala packs ints)
+    if ents.max(initial=0) >= (1 << 32):
+        raise ValueError(
+            "entity ids must fit in 32 bits for lambda pair-packing; "
+            f"got max id {int(ents.max())}"
+        )
     if L == 1:
         b = np.where(valid[0], rho[0], NEG)
         i = int(np.argmax(b))
-        return np.array([i]), np.array([b[i]]), 0, True
+        score = b[i]
+        if not max_product:
+            # same [0,1] marginal-probability scale as the multi-mention
+            # path (softmax over valid candidates), not a raw log-prob
+            p = np.where(valid[0], np.exp(b - b.max()), 0.0)
+            score = p[i] / p.sum()
+        return np.array([i]), np.array([score]), 0, True
 
     # Λ[i,j,a,b] — pandas .map is a C-speed dict probe over the flattened
     # key tensor (the per-doc CocitationMap analogue, CocitationMap.scala:24-39).

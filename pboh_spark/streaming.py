@@ -67,12 +67,12 @@ def streaming_mention_counts(
     """Watermarked tumbling-window mention-surface counts — incremental
     name statistics. Late rows beyond ``watermark`` are dropped (state
     stays bounded: #windows × #surfaces, not #turns)."""
+    from pboh_spark.normalize import MENTION_RE
+
     mentions = turns.withWatermark("ts", watermark).select(
         F.col("ts"),
         F.explode(
-            F.expr(
-                "regexp_extract_all(text, '[A-Z][a-z]*(?: [A-Z][a-z]*)*', 0)"
-            )
+            F.expr(f"regexp_extract_all(text, '{MENTION_RE}', 0)")
         ).alias("surface"),
     )
     return (
@@ -94,16 +94,17 @@ def incremental_extract(
     checkpoint_dir: str,
     available_now: bool = True,
 ):
-    """foreachBatch ingest: stage-1 mention extraction per micro-batch,
-    appended to the mentions table. Exactly-once via the streaming
-    checkpoint (batch id replay is idempotent because mention_id is a
-    content hash). Returns the started StreamingQuery."""
+    """foreachBatch ingest: stage-1 mention extraction per micro-batch.
+    Exactly-once: each batch overwrites its own ``batch_id=N`` partition
+    directory, so a replayed micro-batch (failure between sink commit and
+    streaming-checkpoint commit) rewrites the same files instead of
+    appending duplicates. Returns the started StreamingQuery."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = extract_mentions(batch_df)
-        out.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(mentions_out)
+        out.write.mode("overwrite").parquet(
+            f"{mentions_out}/batch_id={batch_id}"
+        )
 
     writer = (
         turns_stream.writeStream.foreachBatch(process)

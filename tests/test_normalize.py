@@ -43,3 +43,23 @@ def test_mention_ids_unique_and_deterministic(spark, tiny, universe):
     # deterministic under re-extraction with different partitioning
     m2 = normalize.extract_mentions(t.repartition(13))
     assert m.select("mention_id").exceptAll(m2.select("mention_id")).count() == 0
+
+
+def test_offsets_exact_for_repeated_and_contained_surfaces(spark):
+    """instr() regression: repeated surfaces ('Alice met Alice') and a
+    surface contained in an earlier longer mention must get their own
+    character offsets, not the first occurrence's."""
+    df = spark.createDataFrame(
+        [("c0", 0, "Alice met Alice"), ("c0", 1, "Alice Smith met Alice")],
+        "conv_id string, turn_idx int, role string",
+    ).toDF("conv_id", "turn_idx", "text")
+    rows = {
+        (r["turn_idx"], r["offset"]): r["surface"]
+        for r in normalize.extract_mentions(df).collect()
+    }
+    assert rows == {
+        (0, 0): "Alice",
+        (0, 10): "Alice",
+        (1, 0): "Alice Smith",
+        (1, 16): "Alice",
+    }

@@ -157,3 +157,31 @@ def test_argmax_baseline(spark):
     )
     rows = resolve.resolve_argmax(cand).collect()
     assert rows[0]["entity"] == 6
+
+
+def test_single_mention_sum_product_returns_probability():
+    """L==1 regression: sum-product score must be on the same [0,1]
+    marginal scale as multi-mention conversations, not a raw log-prob."""
+    import numpy as np
+    from pboh_spark.resolve import _solve_conv
+    from pboh_spark.stats import ScorerWeights
+
+    ents = np.array([[1, 2, -1]])
+    rho = np.log(np.array([[0.7, 0.3, 1e-300]]))
+    best, score, _, conv = _solve_conv(
+        ents, rho, {}, ScorerWeights(), max_product=False
+    )
+    assert conv and best[0] == 0
+    assert abs(score[0] - 0.7) < 1e-9
+
+
+def test_pack_rejects_ids_over_32_bits():
+    import numpy as np
+    import pytest
+    from pboh_spark.resolve import _solve_conv
+    from pboh_spark.stats import ScorerWeights
+
+    ents = np.array([[1 << 33, -1], [5, -1]])
+    rho = np.zeros((2, 2))
+    with pytest.raises(ValueError, match="32 bits"):
+        _solve_conv(ents, rho, {}, ScorerWeights(), max_product=True)
