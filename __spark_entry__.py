@@ -438,6 +438,9 @@ def stat_lambda_potential(spark, sf_dir):
     (ScorerFull.scala:200-227) — full cross-engine formula parity."""
     from pboh_spark import stats
 
+    # anchors are NOT persisted: the lineitem⋈part join is a cheap
+    # broadcast join over page-cached parquet, and materializing 600k
+    # wide rows costs more than the three re-scans it would save
     anchors = _anchors(spark, sf_dir)
     es = stats.entity_stats(anchors)
     cooc1 = stats.cooccurrence(anchors, min_cocit=1).persist()
