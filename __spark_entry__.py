@@ -738,6 +738,9 @@ def pboh_e2e_clusters(spark, sf_dir):
     salted, _ = blocking.salt_and_cap(cb.unionByName(mh), cap=512)
     scored = pairs_mod.score_pairs(pairs_mod.candidate_pairs(salted))
     comp = cluster.connected_components(scored.where("is_match_pred"))
+    # comp is eagerly localCheckpointed by CC, so the persisted blocked
+    # table is no longer needed by the returned plan
+    blocking.release_persisted()
     return cluster.clusters_table(mentions, comp).select(
         "mention_id", "conv_id", "turn_idx", "ngram", "cluster_id"
     )
@@ -761,6 +764,7 @@ def pboh_surface_clusters(spark, sf_dir):
     salted, _ = blocking.salt_and_cap(cb.unionByName(mh), cap=512)
     scored = pairs_mod.score_pairs(pairs_mod.candidate_pairs(salted))
     comp = cluster.connected_components(scored.where("is_match_pred"))
+    blocking.release_persisted()  # comp is eagerly checkpointed by CC
     return pairs_mod.surface_clusters_to_mentions(mentions, comp).select(
         "mention_id", "conv_id", "turn_idx", "ngram", "cluster_id"
     )

@@ -175,9 +175,17 @@ def candidate_pairs(blocked: DataFrame) -> DataFrame:
             ).alias("agree_term"),
         )
     )
+    # shared_entity tie-break on entity id: equal agree_terms are common
+    # (symmetric priors) and scoring now consults lambda(shared_entity),
+    # so an order-dependent max_by would make scores nondeterministic
     dedup = raw.groupBy("mention_id_a", "mention_id_b").agg(
         F.sum("agree_term").alias("prior_agreement"),
-        F.max_by("cand_entity", "agree_term").alias("shared_entity"),
+        F.max_by(
+            "cand_entity",
+            F.struct(
+                F.col("agree_term"), (-F.col("cand_entity")).alias("nid")
+            ),
+        ).alias("shared_entity"),
         F.min("block_key").alias("block_key"),
     )
     attrs = blocked.select(

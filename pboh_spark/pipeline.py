@@ -89,6 +89,9 @@ def run_pipeline(
         upstream=["s1_mentions", "s2_name_stats"],
         repartition_by="block_key",
     )
+    # the stage write above supersedes salt_and_cap's internal persist —
+    # release it so repeated pipeline runs don't pin dead blocked tables
+    blocking.release_persisted()
 
     scored = ck.run_stage(
         f"s4_pairs{sfx}",
@@ -183,18 +186,18 @@ def main() -> None:
     )
 
     if args.evaluate and gold is not None:
-        from pboh_spark import stats
-
         ck = StageCheckpointer(spark, args.out)
         if args.surface_mode:
-            # blocked rows are surface-level (null conv/turn): build the
-            # labeled pairs at the instance-level candidate blocking key
-            # and judge the expanded clusters on them
+            # blocked rows are surface-level (null conv/turn): rebuild the
+            # labeled-pair universe at the INSTANCE level with the same
+            # block sources as instance mode (candidate + LSH), reading
+            # the checkpointed name_stats rather than recomputing it
             mentions = spark.read.parquet(str(ck._paths("s1_mentions")[0]))
-            ns = stats.name_stats(anchors)
-            lp = evaluate.build_labeled_pairs(
-                gold, blocking.candidate_blocks(mentions, ns)
+            ns = spark.read.parquet(str(ck._paths("s2_name_stats")[0]))
+            inst_blocked = blocking.candidate_blocks(mentions, ns).unionByName(
+                blocking.minhash_blocks(mentions, ns, oov_only=True)
             )
+            lp = evaluate.build_labeled_pairs(gold, inst_blocked)
             clusters = spark.read.parquet(str(ck._paths("s6_clusters_surf")[0]))
             comp = clusters.select(
                 F.col("mention_id").alias("id"), F.col("cluster_id")

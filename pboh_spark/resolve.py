@@ -78,7 +78,9 @@ def _solve_conv(
             f"got max id {int(ents.max())}"
         )
     if L == 1:
-        b = np.where(valid[0], rho[0], NEG)
+        # beliefs use f·rho exactly like the multi-mention path (there are
+        # no messages), so scores stay on one scale for any weights.f
+        b = np.where(valid[0], weights.f * rho[0], NEG)
         i = int(np.argmax(b))
         score = b[i]
         if not max_product:

@@ -100,6 +100,25 @@ def incremental_extract(
     streaming-checkpoint commit) rewrites the same files instead of
     appending duplicates. Returns the started StreamingQuery."""
 
+    # layout guard: this sink writes batch_id=N partition dirs; a mentions
+    # table from the old flat-append layout would make the root unreadable
+    # (conflicting directory structures) — fail loudly with a migration
+    # hint instead of corrupting it
+    from pathlib import Path
+
+    root = Path(mentions_out)
+    if root.exists():
+        stray = [
+            p.name for p in root.iterdir()
+            if not p.name.startswith(("batch_id=", "_", "."))
+        ]
+        if stray:
+            raise ValueError(
+                f"{mentions_out} contains non-partitioned files {stray[:3]}; "
+                "this sink writes batch_id=N partitions — migrate the old "
+                "flat layout (read + rewrite partitioned) first"
+            )
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = extract_mentions(batch_df)
         out.write.mode("overwrite").parquet(
