@@ -116,6 +116,45 @@ def pairwise_f1(
     }
 
 
+def calibrate_threshold(
+    scored_pairs: DataFrame,
+    labeled_pairs: DataFrame,
+    grid: list[float] | None = None,
+) -> DataFrame:
+    """Grid-search the match threshold against gold labels — the analogue
+    of the reference's hyperparameter grid search
+    (learning/FewParamsLearning.scala:146-207), as ONE distributed pass:
+    each labeled+scored pair explodes over the threshold grid and a
+    single groupBy(threshold) aggregates P/R/F1 for every candidate
+    threshold simultaneously (no per-threshold job).
+
+    Returns (threshold, tp, fp, fn, precision, recall, f1) sorted by
+    threshold; pick max f1 driver-side.
+    """
+    grid = grid or [round(0.4 + 0.025 * i, 3) for i in range(17)]
+    j = labeled_pairs.select("mention_id_a", "mention_id_b", "is_match").join(
+        scored_pairs.select("mention_id_a", "mention_id_b", "score"),
+        ["mention_id_a", "mention_id_b"],
+        "left",
+    )
+    th = F.explode(F.lit(grid).cast("array<double>")).alias("threshold")
+    e = j.select("is_match", "score", th).withColumn(
+        "pred", F.coalesce(F.col("score"), F.lit(-1.0)) >= F.col("threshold")
+    )
+    agg = e.groupBy("threshold").agg(
+        F.sum(F.when(F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("is_match"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("fn"),
+    )
+    p = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    r = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    return agg.select(
+        "threshold", "tp", "fp", "fn",
+        p.alias("precision"), r.alias("recall"),
+        (2 * p * r / F.greatest(p + r, F.lit(1e-12))).alias("f1"),
+    ).orderBy("threshold")
+
+
 def linking_accuracy(
     assignments: DataFrame, gold_mentions: DataFrame, mentions: DataFrame
 ) -> dict[str, float]:

@@ -82,3 +82,17 @@ def test_size_bucketed_stats(spark, e2e):
     assert len(rows) >= 2
     for r in rows:
         assert r["f1"] >= 0.95
+
+
+def test_threshold_calibration_grid(spark, e2e):
+    """L5 grid-search analogue: one-pass P/R/F1 over the threshold grid;
+    the production threshold (0.65) must sit in the F1-optimal plateau."""
+    out, transcripts, gold, anchors, _ = e2e
+    blocked = spark.read.parquet(f"{out}/s3_blocked/data")
+    scored = spark.read.parquet(f"{out}/s4_pairs/data")
+    lp = evaluate.build_labeled_pairs(gold, blocked)
+    cal = {r["threshold"]: r["f1"] for r in
+           evaluate.calibrate_threshold(scored, lp).collect()}
+    best = max(cal.values())
+    assert cal[0.65] >= best - 1e-9
+    assert best >= 0.99
