@@ -560,7 +560,9 @@ def link_blocking_metrics(spark, sf_dir):
         ),
         F.col("p_partkey").alias("mention_id"),
     )
-    _, metrics = salt_and_cap(p, cap=16)
+    # metrics-only consumer: one scan, the salted side is discarded —
+    # persist=False so no cache entry is pinned for the session
+    _, metrics = salt_and_cap(p, cap=16, persist=False)
     return metrics.select(
         F.col("n_blocks").cast("bigint").alias("n_blocks"),
         F.col("max_block_size").cast("bigint").alias("max_block_size"),
@@ -1467,6 +1469,7 @@ def oracle_sql() -> dict[str, str]:
     ann_ivf = f"""
         WITH cents AS (
             SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+            WHERE substr(md5(vec_id::VARCHAR || '42'), 1, 1) = '0'
             ORDER BY md5(vec_id::VARCHAR || '42') LIMIT 16
         ),
         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

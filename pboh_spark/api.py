@@ -43,8 +43,9 @@ class EntityLinker:
     """Driver-side linker over broadcast-sized statistics tables.
 
     Built from stage-2 DataFrames via ``EntityLinker.from_tables`` —
-    collects them once (they are dimension tables: bounded by the
-    surface-form dictionary, not the corpus). For corpus-scale linking
+    collects the name dictionary (surface-form bound) and the lambda /
+    popularity rows pruned to its candidate closure; the unpruned lambda
+    table is entity-pair bound and is never collected. For corpus-scale linking
     use resolve.resolve_entities (the distributed path); this class is
     the interactive/serving shape (one conversation per call).
     """
@@ -72,24 +73,52 @@ class EntityLinker:
         scalars: dict[str, int] | None = None,
         top_k: int = 10,
         weights: ScorerWeights | None = None,
+        max_lambda_rows: int = 20_000_000,
     ) -> "EntityLinker":
+        """Serving-size memory bound: only the candidate CLOSURE of the
+        name dictionary is collected. The raw lambda table is entity-pair
+        bound (~10^9 rows at reference scale,
+        EntityCooccurrenceIndex.scala:44) — collecting it whole would OOM
+        the driver — so it is semi-join-pruned to pairs where BOTH
+        endpoints are top-``top_k`` candidates of some name (≤ |names|·k
+        entities, ≤ (|names|·k)² pairs, in practice ≪ because cocitation
+        is sparse). ``max_lambda_rows`` is a hard ceiling: exceeding it
+        raises instead of silently ballooning the driver heap — shrink
+        top_k or serve via the distributed path (resolve.resolve_entities).
+        """
+        from pyspark.sql import functions as F
+
         w = weights or ScorerWeights()
+        cands_df = name_stats.where(f"rank <= {top_k}").select(
+            "name", "entity", "prob"
+        )
         cand: dict[str, list[tuple[int, float]]] = {}
-        for r in (
-            name_stats.where(f"rank <= {top_k}")
-            .select("name", "entity", "prob")
-            .collect()
-        ):
+        for r in cands_df.collect():
             cand.setdefault(r["name"], []).append((int(r["entity"]), float(r["prob"])))
+        closure = cands_df.select("entity").distinct()
         pop = {
             int(r["entity"]): float(r["log_pop"])
-            for r in entity_stats.select("entity", "log_pop").collect()
+            for r in entity_stats.select("entity", "log_pop")
+            .join(closure, "entity", "left_semi")
+            .collect()
         }
+        lam_pruned = (
+            lambda_table.select("e1", "e2", "lambda_potential")
+            .join(closure.select(F.col("entity").alias("e1")), "e1", "left_semi")
+            .join(closure.select(F.col("entity").alias("e2")), "e2", "left_semi")
+        )
+        n_lam = lam_pruned.count()
+        if n_lam > max_lambda_rows:
+            raise ValueError(
+                f"pruned lambda table has {n_lam} rows > max_lambda_rows="
+                f"{max_lambda_rows}; lower top_k or use the distributed "
+                "resolve.resolve_entities path instead of a driver-side linker"
+            )
         lam = {
             int(_pack(np.array([r["e1"]]), np.array([r["e2"]]))[0]): float(
                 r["lambda_potential"]
             )
-            for r in lambda_table.select("e1", "e2", "lambda_potential").collect()
+            for r in lam_pruned.collect()
         }
         if scalars:
             n = float(max(scalars.get("num_total_pairs", 1), 1))

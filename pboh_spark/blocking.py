@@ -57,19 +57,26 @@ def _minhash_params(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarr
     return a, b
 
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
 def _shingle_hashes(s: str, k: int = 3) -> np.ndarray:
-    """Stable 64-bit hashes of char k-grams (padded) — python hash() is
-    salted per-process, so use a simple deterministic FNV-1a."""
+    """Stable 64-bit FNV-1a hashes of char k-grams (padded) — python
+    hash() is salted per-process. Vectorized: one codepoint array per
+    string, then k fused xor/multiply passes over the sliding windows
+    (uint64 wraps ≡ the & mask of the scalar form — keys byte-identical
+    to the original per-char loop; asserted in tests)."""
     s = f"^{s}$"
     if len(s) < k:
         s = s.ljust(k, "_")
-    out = np.empty(len(s) - k + 1, dtype=np.uint64)
-    for i in range(len(s) - k + 1):
-        h = np.uint64(0xCBF29CE484222325)
-        for ch in s[i : i + k]:
-            h = np.uint64((int(h) ^ ord(ch)) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+    codes = np.fromiter(map(ord, s), dtype=np.uint64, count=len(s))
+    n = len(s) - k + 1
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = (h ^ codes[j : j + n]) * _FNV_PRIME
+    return h
 
 
 def minhash_band_keys_udf(
@@ -161,7 +168,9 @@ def minhash_blocks(
     )
 
 
-def salt_and_cap(blocked: DataFrame, cap: int = 512) -> tuple[DataFrame, DataFrame]:
+def salt_and_cap(
+    blocked: DataFrame, cap: int = 512, persist: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """Splits blocks larger than ``cap`` into ⌈n/cap⌉ salted sub-blocks.
 
     Returns (salted_df, metrics_df). metrics_df: per-block sizes and the
@@ -173,12 +182,15 @@ def salt_and_cap(blocked: DataFrame, cap: int = 512) -> tuple[DataFrame, DataFra
     twice — once for sizes, once for the salting join — and upstream
     blocking includes a pandas UDF that must not run twice. In the
     checkpointed pipeline the stage write supersedes this; for ad-hoc use
-    (bench, notebooks) it halves the blocking cost.
+    (bench, notebooks) it halves the blocking cost. Callers that only
+    consume the ``metrics`` side (one scan, salted df discarded) pass
+    ``persist=False`` so no cache entry outlives the call.
     """
     from pyspark import StorageLevel
 
-    blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(blocked)
+    if persist:
+        blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(blocked)
     sizes = blocked.groupBy("block_key").agg(F.count("*").alias("block_size"))
     big = sizes.where(F.col("block_size") > cap)
     salted = (

@@ -68,6 +68,10 @@ class StageCheckpointer:
                 return False
         return True
 
+    def stage_metrics(self, stage: str) -> dict:
+        """Metrics of a stage run (or resumed) this session."""
+        return self._done.get(stage) or self.load_metrics(stage) or {}
+
     def run_stage(
         self,
         stage: str,
@@ -75,10 +79,16 @@ class StageCheckpointer:
         upstream: list[str] | None = None,
         repartition_by: str | None = None,
         num_partitions: int | None = None,
+        observe: dict | None = None,
     ) -> DataFrame:
         """Build-or-resume. ``repartition_by`` lets a stage land
         pre-partitioned on the next stage's join/agg key (the bucketing
-        analogue without a metastore)."""
+        analogue without a metastore).
+
+        ``observe`` — {name: aggregate Column} piggybacked on the stage
+        write via ``df.observe`` (A4's idiomatic form: the metrics ride
+        the write job, zero extra actions) and persisted under
+        ``metrics.json["observed"]`` so resumed runs read them back."""
         upstream = upstream or []
         dpath, mpath = self._paths(stage)
         if self.is_complete(stage, upstream):
@@ -87,6 +97,14 @@ class StageCheckpointer:
 
         t0 = time.time()
         df = builder()
+        obs = None
+        if observe:
+            from pyspark.sql import Observation
+
+            obs = Observation(stage)
+            df = df.observe(
+                obs, *[expr.alias(name) for name, expr in observe.items()]
+            )
         if repartition_by:
             df = df.repartition(
                 *( [num_partitions] if num_partitions else [] ),
@@ -117,6 +135,11 @@ class StageCheckpointer:
             },
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        if obs is not None:
+            metrics["observed"] = {
+                k: (v.item() if hasattr(v, "item") else v)
+                for k, v in obs.get.items()
+            }
         mpath.parent.mkdir(parents=True, exist_ok=True)
         mpath.write_text(json.dumps(metrics, indent=1))
         self._done[stage] = metrics

@@ -114,6 +114,19 @@ def connected_components_star(
     chain-shaped components. Same output contract as
     ``connected_components``.
     """
+    def _fingerprint(df: DataFrame) -> tuple:
+        """(n_edges, XOR of xxhash64(u,v)) — one aggregation job; an
+        unchanged distinct edge set has an identical fingerprint, and a
+        64-bit collision on a CHANGED set is ~2^-64 per round (vs the 4
+        shuffles/round the exceptAll stability check used to cost).
+        bit_xor is order-independent and cannot overflow (ANSI-safe);
+        the edge set is distinct, so no duplicate rows can cancel."""
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -124,6 +137,7 @@ def connected_components_star(
         e.select(F.col("v").alias("id"))
     ).distinct().localCheckpoint(eager=True)
 
+    fp = _fingerprint(e)
     for _ in range(max_iter):
         # large-star: every neighbor v of u with v > u links to min(N(u) ∪ u)
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -150,11 +164,12 @@ def connected_components_star(
             .distinct()
         )
         new_e = large.union(small).distinct().localCheckpoint(eager=True)
-        # converged when the edge set is stable
-        delta = new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
+        # converged when the (distinct) edge set is stable
+        new_fp = _fingerprint(new_e)
         e = new_e
-        if delta == 0:
+        if new_fp == fp:
             break
+        fp = new_fp
 
     labels = e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
     return (

@@ -35,19 +35,18 @@ CONTEXT_TURNS = 2  # ± turns ≙ the reference's ±50-word window
 def word_freq(norm_turns: DataFrame, min_freq: int = 2) -> DataFrame:
     """(word, freq) + p_w column — ≙ WordFreqPerCorpus.scala:36-38
     (reduceByKey count + freq ≥ k prune; theirs k=20 on Wikipedia)."""
-    wf_all = (
+    wf = (
         norm_turns.select(F.explode("tokens").alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") >= min_freq)
     )
-    # p̂(w) denominator = FULL corpus mass (reference: totalSumFreqs over
-    # the whole corpus, WordFreqDict.scala:12-19) — normalizing over the
-    # pruned vocabulary would inflate p_w by the discarded tail mass
-    total = wf_all.agg(F.sum("freq")).collect()[0][0] or 1
-    return (
-        wf_all.where(F.col("freq") >= min_freq)
-        .withColumn("p_w", F.col("freq") / F.lit(float(total)))
-    )
+    # p̂(w) denominator = PRUNED vocabulary mass: the reference computes
+    # totalSumFreqs AFTER the freq ≥ 20 filter (WordFreqPerCorpus.scala:38-40
+    # sums the filtered RDD; WordFreqDict loads only pruned rows), so the
+    # evidence term log(p̃/p̂) is calibrated against pruned mass.
+    total = wf.agg(F.sum("freq")).collect()[0][0] or 1
+    return wf.withColumn("p_w", F.col("freq") / F.lit(float(total)))
 
 
 def context_windows(

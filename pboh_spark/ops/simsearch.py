@@ -151,6 +151,20 @@ def lsh_topk(
     )
 
 
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
+    """Fraction of exact top-k (query, neighbor) pairs the approximate
+    index recovered — the coverage diagnostic the reference prints for its
+    candidate index (eval/VerifyEDAbstract.scala:104-108). One semi-join +
+    two counts; both inputs are top-k tables (small)."""
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    total = exact.count()
+    return (hits.count() / total) if total else 1.0
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -160,12 +174,23 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prefix_len: int = 1,
 ) -> DataFrame:
-    """IVF: centroids = deterministic corpus sample (vec_id hash order);
-    assignment + probing are broadcast joins; re-rank exact."""
+    """IVF: centroids = deterministic corpus sample (md5 prefix filter →
+    sort only the filtered pool); assignment + probing are broadcast
+    joins; re-rank exact.
+
+    The centroid pick first hash-FILTERS the corpus to rows whose
+    md5(id||seed) starts with ``prefix_len`` zero hex chars (16^-p of the
+    corpus — a scan-side predicate, no shuffle), then sorts only that
+    small pool. A global orderBy(md5).limit would be a full corpus sort
+    to pick n_cells rows; at 100 TB raise ``prefix_len`` so the pool
+    stays ~64·n_cells. Deterministic, hence oracle-checkable."""
+    hashed = F.md5(F.concat(F.col("cid").cast("string"), F.lit(str(seed))))
     cents = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .orderBy(F.md5(F.concat(F.col("cid").cast("string"), F.lit(str(seed)))))
+        .where(F.substring(hashed, 1, prefix_len) == "0" * prefix_len)
+        .orderBy(hashed)
         .limit(n_cells)
     )
     c = corpus.select(

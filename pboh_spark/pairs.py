@@ -257,17 +257,21 @@ def score_pairs(
             F.col("e1").alias("shared_entity"),
             F.col("lambda_potential").alias("lam_ee"),
         )
+        # scalar min/max fold into the scaling via a 1-row cross join; the
+        # diag table grows with the entity catalog (~10^7-10^8 at target
+        # scale) so NOTHING here is force-broadcast — AQE picks broadcast
+        # when diag fits and a shuffle hash join when it doesn't
         rng = diag.agg(
             F.min("lam_ee").alias("lam_lo"), F.max("lam_ee").alias("lam_hi")
         )
-        diag = diag.crossJoin(F.broadcast(rng)).select(
+        diag = diag.crossJoin(rng).select(
             "shared_entity",
             (
                 (F.col("lam_ee") - F.col("lam_lo"))
                 / F.greatest(F.col("lam_hi") - F.col("lam_lo"), F.lit(1e-9))
             ).alias("lam_scaled"),
         )
-        scored = scored.join(F.broadcast(diag), "shared_entity", "left")
+        scored = scored.join(diag, "shared_entity", "left")
         lam_term = 0.75 * agree_part + 0.25 * F.coalesce(
             F.col("lam_scaled"), F.lit(0.5)
         )

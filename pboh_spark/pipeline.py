@@ -99,6 +99,9 @@ def run_pipeline(
             pairs_mod.candidate_pairs(blocked), lam, threshold=threshold
         ),
         upstream=[f"s3_blocked{sfx}", "s2_lambda"],
+        # match count rides the stage-write job (df.observe — A4), no
+        # separate scan of the scored table afterwards
+        observe={"n_matches": F.sum(F.col("is_match_pred").cast("bigint"))},
     )
 
     components = ck.run_stage(
@@ -124,7 +127,7 @@ def run_pipeline(
             lambda: resolve.mention_candidates(mentions, name_stats, ent_stats, top_k),
             upstream=["s1_mentions", "s2_name_stats", "s2_entity_stats"],
         )
-        assignments = ck.run_stage(
+        ck.run_stage(
             "s5_assignments",
             lambda: resolve.resolve_entities(
                 cand,
@@ -133,16 +136,21 @@ def run_pipeline(
                 scalars=scalars,
             ),
             upstream=["s5_candidates", "s2_lambda"],
+            observe={"pct_converged": F.avg(F.col("converged").cast("int"))},
         )
+        sm = ck.stage_metrics("s5_assignments")
         metrics["lbp"] = {
-            "n_assignments": assignments.count(),
-            "pct_converged": assignments.agg(
-                F.avg(F.col("converged").cast("int"))
-            ).collect()[0][0],
+            "n_assignments": sm.get("rows"),
+            "pct_converged": sm.get("observed", {}).get("pct_converged"),
         }
 
-    metrics["n_pairs_scored"] = scored.count()
-    metrics["n_matches"] = scored.where("is_match_pred").count()
+    # row counts come from the stage metrics (counted once during the
+    # checkpoint write); n_matches from the observed aggregate — the only
+    # post-hoc action left is the distinct cluster count
+    metrics["n_pairs_scored"] = ck.stage_metrics(f"s4_pairs{sfx}").get("rows")
+    metrics["n_matches"] = (
+        ck.stage_metrics(f"s4_pairs{sfx}").get("observed", {}).get("n_matches")
+    )
     metrics["n_clusters"] = clusters.select("cluster_id").distinct().count()
     metrics["text_equality_violations"] = normalize.verify_text_equality(
         transcripts, normalize.normalize_turns(transcripts)

@@ -265,10 +265,10 @@ def mention_candidates(
         cands, mentions["ngram"] == cands["name"], "inner"
     ).select("conv_id", "mention_id", "entity", "rho")
     if entity_stats is not None:
+        # entity_stats grows with the catalog (~70 MB at reference scale,
+        # unbounded at 100×) — no broadcast hint; AQE decides per actual size
         out = out.join(
-            F.broadcast(entity_stats.select("entity", "log_pop")),
-            "entity",
-            "left",
+            entity_stats.select("entity", "log_pop"), "entity", "left"
         )
     else:
         out = out.withColumn("log_pop", F.lit(0.0))

@@ -57,3 +57,40 @@ def test_context_entities_steer_ambiguous_mention(spark, universe, anchors):
     # entity over the runner-up's topic when context says otherwise
     assert with_ctx.entity in {e for e, _ in cands}
     assert no_ctx.entity == cands_sorted[0][0]
+
+
+def test_from_tables_lambda_row_ceiling(spark, universe, anchors):
+    """An oversized lambda table must raise, not OOM the driver."""
+    import pytest
+
+    ns = stats.name_stats(anchors)
+    es = stats.entity_stats(anchors)
+    cooc = stats.cooccurrence(anchors)
+    scalars = stats.corpus_scalars(anchors, cooc=cooc)
+    lam = stats.with_lambda_potential(cooc, es, scalars)
+    with pytest.raises(ValueError, match="max_lambda_rows"):
+        EntityLinker.from_tables(ns, es, lam, scalars, max_lambda_rows=1)
+
+
+def test_from_tables_prunes_to_candidate_closure(spark, universe, anchors):
+    """Lambda rows whose endpoints are outside the name dictionary's
+    candidate closure are never collected (driver memory bound)."""
+    import numpy as np
+
+    from pboh_spark.resolve import _pack
+
+    ns = stats.name_stats(anchors)
+    es = stats.entity_stats(anchors)
+    cooc = stats.cooccurrence(anchors)
+    scalars = stats.corpus_scalars(anchors, cooc=cooc)
+    lam = stats.with_lambda_potential(cooc, es, scalars)
+    extra = spark.createDataFrame(
+        [(1_000_000, 1_000_001, 5, 1.0)],
+        "e1 bigint, e2 bigint, cocit bigint, lambda_potential double",
+    )
+    linker = EntityLinker.from_tables(
+        ns, es, lam.unionByName(extra), scalars
+    )
+    stray = int(_pack(np.array([1_000_000]), np.array([1_000_001]))[0])
+    assert stray not in linker.lam_map
+    assert linker.lam_map  # in-closure pairs still present

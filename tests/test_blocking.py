@@ -84,3 +84,26 @@ def test_salt_and_cap_bounds_block_size(spark):
     assert m["n_blocks_salted"] == 1
     # cold block untouched
     assert salted.where(F.col("block_key") == "cold").count() == 5
+
+
+def test_shingle_hashes_byte_identical_to_scalar_fnv():
+    """The vectorized FNV-1a must produce EXACTLY the keys of the original
+    per-char scalar loop — LSH band keys are persisted in checkpoints, so
+    a silent hash change would orphan every existing blocked table."""
+    from pboh_spark.blocking import _shingle_hashes
+
+    def scalar(s: str, k: int = 3) -> list[int]:
+        s = f"^{s}$"
+        if len(s) < k:
+            s = s.ljust(k, "_")
+        out = []
+        for i in range(len(s) - k + 1):
+            h = 0xCBF29CE484222325
+            for ch in s[i : i + k]:
+                h = ((h ^ ord(ch)) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            out.append(h)
+        return out
+
+    for s in ["", "a", "ab", "abc", "quantum analytics corp",
+              "náïve ünïcode ⚙", "x" * 200]:
+        assert _shingle_hashes(s).tolist() == scalar(s), repr(s)

@@ -77,11 +77,13 @@ def test_oracle_match(spark, ddb, name):
     "name", sorted(set(_QUERIES) - set(_ORACLES))
 )
 def test_rows_only(spark, name):
+    # mirrors the driver's rows-only gate: rows > 0 (>= 0 would be
+    # vacuously true and let a regression-to-empty pass)
     df = _QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
+    assert df.count() > 0
     assert len(df.schema.fields) > 0
 
 
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
-    assert df.count() >= 0
+    assert df.count() > 0

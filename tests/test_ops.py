@@ -155,3 +155,29 @@ def test_multimodal_plumbing(spark):
     ).count()
     fr = multimodal.sample_frames(media, every_n=10)
     assert fr.count() > 0
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    """Recall@k of the IVF scale path vs exact brute force — the
+    reference-style coverage diagnostic (VerifyEDAbstract.scala:104-108)."""
+    q = emb.limit(10)
+    bf = simsearch.cosine_topk_bruteforce(emb, q, k=5)
+    # uniform-random embeddings are IVF's worst case (no cluster
+    # structure) — recall must still be substantial and monotone in
+    # n_probe (the recall/cost dial a user actually turns)
+    r4 = simsearch.recall_at_k(
+        simsearch.ivf_topk(emb, q, k=5, n_cells=16, n_probe=4), bf
+    )
+    r8 = simsearch.recall_at_k(
+        simsearch.ivf_topk(emb, q, k=5, n_cells=16, n_probe=8), bf
+    )
+    assert r4 >= 0.3
+    assert r8 >= r4 and r8 >= 0.6
+
+
+def test_lsh_recall_metric_helper(spark, emb):
+    q = emb.limit(10)
+    bf = simsearch.cosine_topk_bruteforce(emb, q, k=5)
+    lsh = simsearch.lsh_topk(emb, q, dim=len(emb.first()["embedding"]), k=5)
+    r = simsearch.recall_at_k(lsh, bf)
+    assert 0.0 <= r <= 1.0 and r >= 0.5
