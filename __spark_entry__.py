@@ -350,6 +350,121 @@ def stat_mention_positions(spark, sf_dir):
     )
 
 
+def text_unescape_links(spark, sf_dir):
+    """F2 link normalization (utils/Normalizer.scala:15-34): double HTML
+    unescape → underscore→space → trim → capitalize → percent-decode.
+    The raw link strings are derived deterministically from the part
+    table (escaped/underscored on both engines identically), so the whole
+    transform chain is value-checked against DuckDB."""
+    from pboh_spark.normalize import process_target_link
+
+    p = _t(spark, sf_dir, "part")
+    raw = F.concat(
+        F.regexp_replace(F.lower(F.col("p_name")), " ", "_"),
+        F.lit("_&amp;amp;_"),
+        F.lower(F.col("p_brand")),
+        F.lit("%20co"),
+    )
+    return p.select(
+        F.col("p_partkey").alias("pid"),
+        raw.alias("raw"),
+        process_target_link(raw).alias("norm"),
+    )
+
+
+def scan_gzip_roundtrip(spark, sf_dir):
+    """S7 gzip codec path: write (doc_id, md5(text)) as gzip TEXT files,
+    read them back through spark.read.text, reparse. The oracle computes
+    the same hashes straight from the parquet view — any corruption in
+    the compressed round-trip breaks the value match.
+
+    Scale note: gzip is NOT splittable — one task per .gz file. At 100 TB
+    keep gzip shards ≤ a few hundred MB (or use zstd/bgzip) so the scan
+    parallelism comes from file count, not in-file splits."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    d = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = str(Path(tempfile.gettempdir()) / f"pboh_gzip_fixture_{tag}")
+    d.select(
+        F.concat_ws(
+            "\t", F.col("doc_id").cast("string"), F.md5("text")
+        ).alias("value")
+    ).write.mode("overwrite").option("compression", "gzip").text(path)
+    back = spark.read.text(path)
+    parts = F.split("value", "\t")
+    return back.select(
+        parts[0].cast("bigint").alias("doc_id"),
+        parts[1].alias("content_hash"),
+    )
+
+
+def stat_rho_context(spark, sf_dir):
+    """C1 FULL rho (ScorerFull.scala:15-104): prior + context-word
+    evidence with F9 absolute discounting, over a deterministic
+    pseudo-conversation corpus derived from documents (conv = doc_id%50,
+    turn = doc_id//50; two synthetic candidates per mention keyed off the
+    md5 of the first token). Exercises context.word_freq (pruned-mass
+    p̂(w)), word_entity_freq, context_windows (±1 turn) and
+    rho_with_context end-to-end against a DuckDB oracle."""
+    import math
+
+    from pboh_spark import context as ctxmod
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda w: w != F.lit("")
+    )
+    turns = d.select(
+        (F.col("doc_id") % 50).cast("string").alias("conv_id"),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.col("doc_id").alias("mention_id"),
+        toks.alias("tokens"),
+    ).where(F.size("tokens") > 0)
+    mentions = turns.select("conv_id", "turn_idx", "mention_id")
+    e0 = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.element_at("tokens", 1)), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(50),
+    )
+    cand = (
+        turns.select(
+            "conv_id",
+            "mention_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        e0.alias("entity"),
+                        F.lit(math.log(0.6)).alias("rho"),
+                    ),
+                    F.struct(
+                        F.pmod(e0 + 1, F.lit(50)).alias("entity"),
+                        F.lit(math.log(0.4)).alias("rho"),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select(
+            "conv_id", "mention_id",
+            F.col("c.entity").alias("entity"), F.col("c.rho").alias("rho"),
+            F.lit(0.0).alias("log_pop"),
+        )
+    )
+    anchors_ctx = turns.select(
+        e0.alias("entity"), F.explode("tokens").alias("word")
+    )
+    wef = ctxmod.word_entity_freq(anchors_ctx, min_freq=3)
+    wfreq = ctxmod.word_freq(turns, min_freq=5)
+    mention_ctx = ctxmod.context_windows(turns, mentions, window=1)
+    out = ctxmod.rho_with_context(cand, mention_ctx, wef, wfreq)
+    return out.select(
+        "conv_id", "mention_id", "entity", F.round("rho", 4).alias("rho")
+    )
+
+
 def text_normalize(spark, sf_dir):
     """F1/F3/F5 normalization: lowercase, delimiter tokenize, stopword
     removal (sorted distinct tokens), plus the F2 capitalize transform."""
@@ -811,6 +926,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_nearest_name": link_nearest_name,
         "stat_mention_positions": stat_mention_positions,
         "text_normalize": text_normalize,
+        "text_unescape_links": text_unescape_links,
+        "scan_gzip_roundtrip": scan_gzip_roundtrip,
+        "stat_rho_context": stat_rho_context,
         "stat_word_freq": stat_word_freq,
         "stat_argmax_entity": stat_argmax_entity,
         "stat_name_stats": stat_name_stats,
@@ -1457,6 +1575,106 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         )
     """
+    def _replace_chain(expr: str, pairs) -> str:
+        for a, b in pairs:
+            ea, eb = a.replace("'", "''"), b.replace("'", "''")
+            expr = f"replace({expr}, '{ea}', '{eb}')"
+        return expr
+
+    from pboh_spark.normalize import HTML_ENTITIES, PCT_ESCAPES
+
+    _raw = (
+        "replace(lower(p_name), ' ', '_') || '_&amp;amp;_' || "
+        "lower(p_brand) || '%20co'"
+    )
+    _unesc2 = _replace_chain(_replace_chain("raw", HTML_ENTITIES), HTML_ENTITIES)
+    _pct = _replace_chain("cap", PCT_ESCAPES)
+    unescape_links = f"""
+        WITH r AS (SELECT p_partkey AS pid, {_raw} AS raw FROM part),
+        s AS (SELECT pid, raw,
+                     trim(replace({_unesc2}, '_', ' ')) AS base
+              FROM r),
+        capd AS (SELECT pid, raw,
+                        upper(substr(base, 1, 1)) || substr(base, 2) AS cap
+                 FROM s)
+        SELECT pid, raw,
+               CASE WHEN contains(cap, '%') THEN trim({_pct})
+                    ELSE cap END AS norm
+        FROM capd
+    """
+    gzip_roundtrip = """
+        SELECT doc_id, md5(text) AS content_hash FROM documents
+    """
+    rho_context = """
+        WITH turns AS (
+            SELECT (doc_id % 50)::VARCHAR AS conv_id,
+                   (doc_id // 50)::INT AS turn_idx,
+                   doc_id AS mention_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS tokens
+            FROM documents
+        ),
+        t2 AS (
+            SELECT *,
+                   ('0x' || substr(md5(tokens[1]), 1, 8))::BIGINT % 50 AS e0
+            FROM turns WHERE len(tokens) > 0
+        ),
+        cand AS (
+            SELECT conv_id, mention_id, e0 AS entity, ln(0.6) AS rho FROM t2
+            UNION ALL
+            SELECT conv_id, mention_id, (e0 + 1) % 50 AS entity, ln(0.4) AS rho
+            FROM t2
+        ),
+        wf0 AS (
+            SELECT word, count(*)::BIGINT AS freq
+            FROM (SELECT unnest(tokens) AS word FROM t2)
+            GROUP BY word HAVING count(*) >= 5
+        ),
+        wfreq AS (
+            SELECT word, freq::DOUBLE / (SELECT sum(freq) FROM wf0) AS p_w
+            FROM wf0
+        ),
+        wef0 AS (
+            SELECT entity, word, count(*)::BIGINT AS freq FROM (
+                SELECT e0 AS entity, unnest(tokens) AS word FROM t2
+            ) GROUP BY entity, word HAVING count(*) >= 3
+        ),
+        wef AS (
+            SELECT entity, word, freq,
+                   sum(freq) OVER (PARTITION BY entity) AS total_e
+            FROM wef0
+        ),
+        ctxw AS (
+            SELECT mention_id,
+                   flatten(list(tokens) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)) AS cw
+            FROM t2
+        ),
+        mention_ctx AS (SELECT mention_id, unnest(cw) AS word FROM ctxw),
+        ev AS (
+            SELECT c.mention_id, c.entity,
+                   sum(CASE WHEN we.freq IS NOT NULL AND wq.p_w IS NOT NULL
+                                 AND greatest(we.freq - 0.5, 0.0)
+                                     / we.total_e > 0
+                            THEN ln(greatest(
+                                (greatest(we.freq - 0.5, 0.0) / we.total_e)
+                                / wq.p_w, 1.0))
+                            ELSE 0.0 END) AS ctx_evidence
+            FROM cand c
+            JOIN mention_ctx m ON c.mention_id = m.mention_id
+            LEFT JOIN wef we ON we.entity = c.entity AND we.word = m.word
+            LEFT JOIN wfreq wq ON wq.word = m.word
+            GROUP BY 1, 2
+        )
+        SELECT c.conv_id, c.mention_id, c.entity,
+               round(1.0 * c.rho + 0.075 * coalesce(e.ctx_evidence, 0.0), 4)
+                   AS rho
+        FROM cand c
+        LEFT JOIN ev e
+          ON c.mention_id = e.mention_id AND c.entity = e.entity
+    """
+
     def _cos(a: str, b: str) -> str:
         dot = (f"(SELECT sum({a}[i]::DOUBLE * {b}[i]::DOUBLE) "
                f"FROM UNNEST(range(1, 65)) AS t(i))")
@@ -1514,7 +1732,64 @@ def oracle_sql() -> dict[str, str]:
                rank::INT AS rank
         FROM ranked WHERE rank <= 10
     """
+    # sign-LSH: the seeded gaussian hyperplanes are plan constants in
+    # Spark (ops/simsearch.hyperplane_signatures, default_rng(42)); embed
+    # the SAME floats as a VALUES table (repr → exact float64 round-trip),
+    # mirroring how the minhash coefficients are embedded above.
+    _planes = np.random.default_rng(42).normal(size=(12, 4, 64))
+    _plane_rows = ", ".join(
+        f"({t}, {b}, {i + 1}, {_planes[t, b, i]!r})"
+        for t in range(12)
+        for b in range(4)
+        for i in range(64)
+    )
+    ann_lsh = f"""
+        WITH planes(t, bit, i, val) AS (VALUES {_plane_rows}),
+        dots AS (
+            SELECT e.vec_id, p.t, p.bit,
+                   sum(e.embedding[p.i]::DOUBLE * p.val) AS dot
+            FROM embeddings e CROSS JOIN planes p
+            GROUP BY e.vec_id, p.t, p.bit
+        ),
+        sigs AS (
+            SELECT vec_id, t,
+                   sum(CASE WHEN dot > 0 THEN (1::BIGINT << bit)
+                            ELSE 0 END)::BIGINT AS sig
+            FROM dots GROUP BY vec_id, t
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+            WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   {_cos('qe.embedding', 'ce.embedding')} AS cosine
+            FROM cand
+            JOIN embeddings qe ON qe.vec_id = cand.query_id
+            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(cosine, 4) AS cosine,
+               rank::INT AS rank
+        FROM ranked WHERE rank <= 10
+    """
+    # deterministic non-SQL-expressible queries (iterative LBP, pandas-UDF
+    # pipelines, binary mapInPandas): golden-row VALUES oracles generated
+    # from the seeded corpora by tools/gen_golden_oracles.py, which proves
+    # determinism by matching outputs across two parallelism levels.
+    try:
+        from pboh_spark._golden_oracles import GOLDEN_SQL
+    except ImportError:
+        GOLDEN_SQL = {}
     return {
+        **GOLDEN_SQL,
         "rel_q1_pricing_summary": q1,
         "rel_q3_top_orders": q3,
         "rel_q5_nation_revenue": q5,
@@ -1553,7 +1828,11 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": fingerprint,
         "ann_cosine_topk": ann,
         "ann_ivf_topk": ann_ivf,
-        # rows-only (non-SQL-expressible): ann_lsh_topk (numpy hyperplanes),
-        # pboh_resolve_lbp (iterative max-product), pboh_e2e_clusters
-        # (pandas-UDF pipeline), multimodal_features (binary mapInPandas)
+        "ann_lsh_topk": ann_lsh,
+        "text_unescape_links": unescape_links,
+        "scan_gzip_roundtrip": gzip_roundtrip,
+        "stat_rho_context": rho_context,
+        # pboh_resolve_lbp / pboh_e2e_clusters / pboh_surface_clusters /
+        # multimodal_features come from GOLDEN_SQL above (seeded golden-row
+        # VALUES oracles — tools/gen_golden_oracles.py)
     }

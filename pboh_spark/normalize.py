@@ -47,6 +47,45 @@ def normalize_turns(transcripts: DataFrame) -> DataFrame:
     )
 
 
+# HTML entities the link normalizer resolves (the reference delegates to
+# StringEscapeUtils.unescapeHtml4 — full HTML4 table; transcripts only ever
+# carry this core subset, and the subset keeps the transform a pure
+# column-expression chain with an exact DuckDB oracle)
+HTML_ENTITIES = [
+    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+]
+# percent-escapes handled without a UDF (same subset both engines)
+PCT_ESCAPES = [
+    ("%20", " "), ("%26", "&"), ("%27", "'"), ("%28", "("), ("%29", ")"),
+    ("%2C", ","), ("%2c", ","),
+]
+
+
+def unescape_html(col):
+    """One unescapeHtml4 pass (subset) as chained replace — codegen'd."""
+    for ent, ch in HTML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def process_target_link(col):
+    """The F2 link normalizer — utils/Normalizer.scala:15-27
+    (processTargetLink): DOUBLE html-unescape (their input is
+    double-escaped wiki markup), underscore→space, trim, capitalize first
+    letter, then percent-decode when a '%' survives. All column
+    expressions (whole-stage codegen), no Python."""
+    c = unescape_html(unescape_html(col))
+    c = F.trim(F.replace(c, F.lit("_"), F.lit(" ")))
+    cap = F.concat(
+        F.upper(F.substring(c, 1, 1)), F.substring(c, 2, 1 << 30)
+    )
+    decoded = cap
+    for esc, ch in PCT_ESCAPES:
+        decoded = F.replace(decoded, F.lit(esc), F.lit(ch))
+    return F.when(cap.contains("%"), F.trim(decoded)).otherwise(cap)
+
+
 def extract_mentions(transcripts: DataFrame) -> DataFrame:
     """Stage-1 output (FIXTURES.md §3):
     (conv_id, turn_idx, mention_id, ngram, surface, offset, length, tokens).
