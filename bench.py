@@ -272,6 +272,21 @@ def main() -> None:
         "l_returnflag"
     ).count().collect()
     times = run_headline(spark, SF_DIR)
+    # recall@10 of the approximate ANN paths vs exact brute force — the
+    # coverage diagnostic the reference prints for its candidate index
+    # (VerifyEDAbstract.scala:104-108); asserted ≥ floor in tests/test_ops
+    import __spark_entry__ as entrymod
+
+    from pboh_spark.ops.simsearch import recall_at_k
+
+    qs = entrymod.queries()
+    bf = qs["ann_cosine_topk"](spark, SF_DIR).cache()
+    bf.count()
+    ann_recall = {
+        name: round(recall_at_k(qs[name](spark, SF_DIR), bf), 3)
+        for name in ("ann_lsh_topk", "ann_ivf_topk")
+    }
+    bf.unpersist()
     # linkage throughput: best of 2 (the join-heavy job shows ±30%
     # run-to-run variance on this box; the min is the reproducible number)
     runs = [linkage_pairs_throughput(spark, n_conv) for _ in range(2)]
@@ -286,6 +301,7 @@ def main() -> None:
         "sf": sf,
         "pairs_scored": n_pairs,
         "pairs_per_sec": round(n_pairs / secs, 1),
+        "ann_recall_at_10": ann_recall,
     }
     print(json.dumps(out))
     spark.stop()

@@ -134,6 +134,80 @@ def incremental_extract(
     return writer.start()
 
 
+def streaming_surface_stats(turns_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): incremental
+    surface-form dictionary. Per distinct mention surface the state holds
+    the running occurrence total across ALL micro-batches; each batch
+    emits the updated rows only (update mode).
+
+    This is the streaming maintenance path for the surface-node table
+    (pairs.surface_nodes) — THE bounded state of the 10^12-turn design:
+    state size is the distinct-surface dictionary (~10^7-10^8 keys,
+    language-bound), never the corpus. State lives in the streaming
+    checkpoint, so totals survive query restarts (resumability is
+    asserted in tests by draining two batches in two separate runs).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pboh_spark.normalize import MENTION_RE
+
+    mentions = turns_stream.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(text, '{MENTION_RE}', 0)")
+        ).alias("surface")
+    ).select(F.lower(F.col("surface")).alias("ngram"))
+
+    def update(key, pdfs, state: GroupState):
+        delta = 0
+        for pdf in pdfs:
+            delta += len(pdf)
+        total = (state.get[0] if state.exists else 0) + delta
+        state.update((total,))
+        yield pd.DataFrame(
+            {"ngram": [key[0]], "total": [total], "batch_delta": [delta]}
+        )
+
+    return mentions.groupBy("ngram").applyInPandasWithState(
+        update,
+        outputStructType="ngram string, total bigint, batch_delta bigint",
+        stateStructType="total bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_surface_stats(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Drain pending files through the stateful surface-dictionary
+    operator; each micro-batch's updated rows land in
+    ``out_dir/batch_id=N`` (overwrite-per-batch = exactly-once, same
+    layout as incremental_extract). Re-invoking with the same
+    ``checkpoint_dir`` RESUMES the per-surface state — totals accumulate
+    across runs (the memory sink can't recover a checkpoint; foreachBatch
+    can). Current totals = latest batch row per surface."""
+    stats = streaming_surface_stats(
+        stream_transcripts(spark, input_path, max_files_per_trigger=1)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        stats.writeStream.foreachBatch(process)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_window_counts_to_memory(
     spark: SparkSession,
     input_path: str,

@@ -69,3 +69,53 @@ def test_windowed_counts_match_batch(spark, universe, tmp_path):
     j = got.select("window_start", "ngram", "freq").exceptAll(want)
     assert j.count() == 0
     assert got.count() == want.count()
+
+
+def test_stateful_surface_stats_accumulates_across_restarts(
+    spark, universe, tmp_path
+):
+    """applyInPandasWithState surface dictionary: totals must equal the
+    batch count of each surface AND survive a query restart (state lives
+    in the streaming checkpoint — the resumability contract)."""
+    base = str(tmp_path)
+    t, _ = synth.generate_transcripts(spark, 40, universe=universe)
+    t = t.cache()
+    c1 = t.where(F.col("conv_id") < "c00000020")
+    c2 = t.where(F.col("conv_id") >= "c00000020")
+    c1.write.mode("overwrite").parquet(f"{base}/in/chunk1")
+
+    def latest_totals():
+        out = spark.read.parquet(f"{base}/ss_out")
+        return {
+            r["ngram"]: r["total"]
+            for r in out.groupBy("ngram")
+            .agg(F.max_by("total", "batch_id").alias("total"))
+            .collect()
+        }
+
+    q = streaming.run_surface_stats(
+        spark, f"{base}/in/*", f"{base}/ss_out", f"{base}/ck3"
+    )
+    q.awaitTermination(120)
+    want1 = {
+        r["ngram"]: r["cnt"]
+        for r in extract_mentions(c1).groupBy("ngram").agg(
+            F.count("*").alias("cnt")
+        ).collect()
+    }
+    assert latest_totals() == want1
+
+    # restart with new files + SAME checkpoint: per-surface state resumes
+    # from the streaming checkpoint and totals accumulate
+    c2.write.mode("overwrite").parquet(f"{base}/in/chunk2")
+    q2 = streaming.run_surface_stats(
+        spark, f"{base}/in/*", f"{base}/ss_out", f"{base}/ck3"
+    )
+    q2.awaitTermination(120)
+    want_all = {
+        r["ngram"]: r["cnt"]
+        for r in extract_mentions(t).groupBy("ngram").agg(
+            F.count("*").alias("cnt")
+        ).collect()
+    }
+    assert latest_totals() == want_all
