@@ -736,6 +736,20 @@ def dedup_jaccard_pairs(spark, sf_dir):
     ).select("doc_id_a", "doc_id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact mode; the LSH-bucketed
+    scale path is pytest-covered on planted near-dups — uniform-random
+    test embeddings have no angularly-close pairs for LSH to exploit).
+    Threshold 0.42 is data-relative: the synthetic embeddings are
+    uniform, so their cosine tail is thin."""
+    from pboh_spark.ops.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.42).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def dedup_simhash(spark, sf_dir):
     from pboh_spark.ops.dedup import simhash
 
@@ -942,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": dedup_minhash_sig,
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_embedding_pairs": dedup_embedding_pairs,
         "dedup_simhash": dedup_simhash,
         "text_token_count": text_token_count,
         "text_quality": text_quality,
@@ -1732,6 +1747,12 @@ def oracle_sql() -> dict[str, str]:
                rank::INT AS rank
         FROM ranked WHERE rank <= 10
     """
+    d_embed = f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_cos('a.embedding', 'b.embedding')}, 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_cos('a.embedding', 'b.embedding')} >= 0.42
+    """
     # sign-LSH: the seeded gaussian hyperplanes are plan constants in
     # Spark (ops/simsearch.hyperplane_signatures, default_rng(42)); embed
     # the SAME floats as a VALUES table (repr → exact float64 round-trip),
@@ -1821,6 +1842,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_sig": d_sig,
         "dedup_lsh_pairs": d_lsh,
         "dedup_jaccard_pairs": d_jac,
+        "dedup_embedding_pairs": d_embed,
         "dedup_simhash": d_simhash,
         "text_token_count": tok,
         "text_quality": quality,

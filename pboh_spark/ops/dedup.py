@@ -241,3 +241,56 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
             ).alias("simhash")
         )
     )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = False,
+    n_bits: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs:
+    (id_a, id_b, cosine) with cosine ≥ ``threshold`` and id_a < id_b.
+
+    Two candidate-generation modes:
+    * exact (default) — all-pairs self join. Quadratic; the verification
+      path and the right plan when one side is bounded (e.g. dedup of a
+      single partition / day's delta against itself).
+    * ``use_lsh=True`` — sign-LSH bucket self-join
+      (simsearch.hyperplane_signatures): candidates only share a
+      (table, signature) bucket, so the pair space is Σ bucket² — the
+      100-TB path. Recall depends on the angular threshold: true
+      near-dups (cosine ≳ 0.9, angle ≲ 26°) collide with probability
+      (1 − θ/π)^n_bits per table; raise n_tables for higher recall.
+    """
+    from pboh_spark.ops.simsearch import hyperplane_signatures, with_cosine
+
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if use_lsh:
+        dim = len(vectors.select(vec_col).first()[0])
+        sigs = hyperplane_signatures(
+            vectors, dim, n_bits=n_bits, n_tables=n_tables, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+        cand = (
+            sigs.alias("x")
+            .join(sigs.alias("y"), ["table", "sig"])
+            .where(F.col("x.vid") < F.col("y.vid"))
+            .select(
+                F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b")
+            )
+            .distinct()
+        )
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (
+        with_cosine(pairs, "va", "vb")
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )

@@ -181,3 +181,37 @@ def test_lsh_recall_metric_helper(spark, emb):
     lsh = simsearch.lsh_topk(emb, q, dim=len(emb.first()["embedding"]), k=5)
     r = simsearch.recall_at_k(lsh, bf)
     assert 0.0 <= r <= 1.0 and r >= 0.5
+
+
+def test_embedding_neardup_planted(spark, emb):
+    """Planted near-dups (tiny noise, cosine ≈ 0.999): the LSH-bucketed
+    scale path must recover them all, and its pair set must be a subset
+    of the exact mode's."""
+    import pandas as pd
+
+    base = emb.limit(5).toPandas()
+    rng = np.random.default_rng(7)
+    rows = []
+    for _, r in base.iterrows():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        noisy = v + rng.normal(scale=0.01 * np.linalg.norm(v) / 8, size=len(v))
+        rows.append(
+            {"vec_id": int(r["vec_id"]) + 1_000_000,
+             "embedding": noisy.astype(np.float32).tolist()}
+        )
+    both = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            pd.DataFrame(rows), "vec_id bigint, embedding array<float>"
+        )
+    )
+    exact = dedup.embedding_neardup_pairs(both, threshold=0.95)
+    lsh = dedup.embedding_neardup_pairs(
+        both, threshold=0.95, use_lsh=True, n_bits=8, n_tables=6
+    )
+    planted = {(int(r["vec_id"]), int(r["vec_id"]) + 1_000_000)
+               for _, r in base.iterrows()}
+    got_exact = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    got_lsh = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert planted <= got_exact
+    assert planted <= got_lsh
+    assert got_lsh <= got_exact
