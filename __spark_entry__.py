@@ -758,6 +758,17 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
+def dedup_simhash_pairs(spark, sf_dir):
+    """Banded simhash near-dup pairs — exact over the Hamming ≤ 3 ball
+    (pigeonhole: 4 bands > 3 differing bits), pair space Σ bucket²."""
+    from pboh_spark.ops.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), "text",
+        bits=32, n_bands=4, max_hamming=3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis (ops/textstats.py)
 # ---------------------------------------------------------------------------
@@ -958,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
         "text_token_count": text_token_count,
         "text_quality": text_quality,
         "text_language_id": text_language_id,
@@ -1378,8 +1390,8 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes nb ON nb.doc_id = doc_id_b
         WHERE inter::DOUBLE / (na.n_sh + nb.n_sh - inter) >= 0.5
     """
-    d_simhash = """
-        WITH wh AS (
+    _simhash_cte = """
+        wh AS (
             SELECT doc_id,
                    ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
             FROM (
@@ -1398,9 +1410,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bit,
                    CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS bitval
             FROM contrib GROUP BY doc_id, bit
+        ),
+        sh AS (
+            SELECT doc_id, sum(bitval * (1::BIGINT << bit))::BIGINT AS simhash
+            FROM bits GROUP BY doc_id
         )
-        SELECT doc_id, sum(bitval * (1::BIGINT << bit))::BIGINT AS simhash
-        FROM bits GROUP BY doc_id
+    """
+    d_simhash = f"""
+        WITH {_simhash_cte}
+        SELECT doc_id, simhash FROM sh
+    """
+    d_simhash_pairs = f"""
+        WITH {_simhash_cte},
+        bands AS (
+            SELECT doc_id, simhash, b AS band,
+                   (simhash >> (b * 8)) & 255 AS key
+            FROM sh, UNNEST(range(0, 4)) AS t(b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.key = b.key
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT doc_id_a, doc_id_b,
+               bit_count(xor(sh_a, sh_b))::INT AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
     """
     tok = """
         SELECT doc_id,
@@ -1844,6 +1880,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": d_jac,
         "dedup_embedding_pairs": d_embed,
         "dedup_simhash": d_simhash,
+        "dedup_simhash_pairs": d_simhash_pairs,
         "text_token_count": tok,
         "text_quality": quality,
         "text_language_id": lang,

@@ -294,3 +294,72 @@ def embedding_neardup_pairs(
         .where(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, hamming) — near-dup pairs whose simhash
+    fingerprints differ in ≤ ``max_hamming`` bits.
+
+    Banded candidate generation: the fingerprint splits into ``n_bands``
+    contiguous bit-bands and candidates must share at least one band
+    verbatim. Pigeonhole: with ``max_hamming < n_bands`` the ≤ k
+    differing bits cannot touch every band, so recall over the Hamming
+    ball is EXACT — the candidate join only prunes, never misses.
+    Verification is one codegen'd expression (bit_count of xor); the
+    pair space is Σ band-bucket², not n² — the classic simhash dedup
+    shape at corpus scale.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands > max_hamming "
+            "for exact banded recall (pigeonhole)"
+        )
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into n_bands")
+    w = bits // n_bands
+    mask = (1 << w) - 1
+    sh = simhash(docs, text_col, bits)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", "simhash",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )

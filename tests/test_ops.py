@@ -215,3 +215,30 @@ def test_embedding_neardup_planted(spark, emb):
     assert planted <= got_exact
     assert planted <= got_lsh
     assert got_lsh <= got_exact
+
+
+def test_simhash_pairs_exact_over_hamming_ball(spark, docs):
+    """Pigeonhole exactness: banded candidate generation must return
+    EXACTLY the brute-force Hamming ≤ 3 pairs (4 bands > 3 bits can't
+    all differ), not an approximation."""
+    banded = {
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+        for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    sh = dedup.simhash(docs)
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .where("hamming <= 3")
+        .collect()
+    }
+    assert banded == brute and len(banded) > 0
