@@ -1,0 +1,96 @@
+"""Plan-shape regression tests — the scale contract asserted on real
+query plans, so a future edit can't silently reintroduce a scale
+anti-pattern:
+
+* parquet filter pushdown reaches the scan (PushedFilters)
+* no CartesianProduct outside the declared small-side exact paths
+* no row-wise Python (BatchEvalPython) anywhere — pandas UDFs are
+  Arrow-batched (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("PBOH_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# non-iterative queries whose plan builds cheaply; the iterative ones
+# (cc_components, pboh_*) run driver loops at construction time and are
+# plan-audited in their own modules
+PLAN_QUERIES = [
+    "rel_q1_pricing_summary", "rel_q3_top_orders", "rel_q5_nation_revenue",
+    "rel_semi_join", "rel_anti_join", "rel_topk_per_group",
+    "stat_name_stats", "stat_entity_stats", "stat_cooccurrence",
+    "stat_lambda_potential", "stat_rho_context",
+    "link_pair_scoring", "dedup_exact", "dedup_lsh_pairs",
+    "dedup_simhash_pairs", "text_quality", "text_fingerprint",
+    "ann_lsh_topk", "ann_ivf_topk", "text_unescape_links",
+]
+
+# declared small-side exact paths where a nested-loop/cartesian shape is
+# the documented plan (broadcast NL over a bounded side)
+CARTESIAN_OK = {"ann_cosine_topk", "dedup_embedding_pairs"}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = entrymod.queries()
+    return {name: _plan(qs[name](spark, SF_DIR)) for name in PLAN_QUERIES}
+
+
+def test_parquet_filter_pushdown(plans):
+    """rel_q1's shipdate predicate must reach the parquet scan."""
+    p = plans["rel_q1_pricing_summary"]
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: [", 1)[1][:300]
+    assert "l_shipdate" in pushed
+
+
+def test_no_cartesian_products(plans):
+    for name, p in plans.items():
+        if name in CARTESIAN_OK:
+            continue
+        assert "CartesianProduct" not in p, name
+
+
+def test_no_rowwise_python(plans):
+    """input_hint: vectorized pandas/Arrow UDFs only — a row-at-a-time
+    Python UDF plans as BatchEvalPython and is banned."""
+    for name, p in plans.items():
+        assert "BatchEvalPython" not in p, name
+
+
+def test_whole_stage_codegen_in_hot_paths(spark):
+    """The hot relational paths must compile to whole-stage-codegen
+    subtrees (the codegen explain renders them even under AQE's lazy
+    final plan). Queries built on higher-order array functions —
+    fingerprint, minhash — legitimately fall back to interpreted
+    projection and are not asserted."""
+    qs = entrymod.queries()
+    jvm = spark.sparkContext._jvm
+    for name in ("rel_q1_pricing_summary", "stat_lambda_potential",
+                 "dedup_exact"):
+        df = qs[name](spark, SF_DIR)
+        s = jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "codegen"
+        )
+        assert "WholeStageCodegen subtree" in s, name
+
+
+def test_scoring_udf_is_arrow_batched(plans):
+    """The Jaro-Winkler UDF must appear as an Arrow eval, never row-wise."""
+    p = plans["link_pair_scoring"]
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
