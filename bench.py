@@ -218,9 +218,13 @@ def main() -> None:
         # the measured job is pair SCORING over a pre-materialized pair
         # table (the BASELINE metric: candidate-pairs-scored/sec) — the
         # same input and plan at both parallelism levels. Corpus is large
-        # enough that per-task work dominates fixed stage latency; each
-        # phase is a subprocess pinned to its core budget with taskset.
-        n_conv_scaling = args.n_conversations or max(4000, int(sf * 800000))
+        # enough that per-task work dominates fixed stage latency AND the
+        # per-worker JW memo fill amortizes (4N cores spread the distinct
+        # pairs over 4× more python workers, so a too-small corpus
+        # charges the big configuration 4× the cache misses and
+        # understates its scaling); each phase is a subprocess pinned to
+        # its core budget with taskset.
+        n_conv_scaling = args.n_conversations or max(10000, int(sf * 2000000))
         sp = 16 * args.n
         scan_parts = 16 * 4 * args.n
         have_taskset = shutil.which("taskset") is not None

@@ -76,18 +76,31 @@ def jaro_winkler(s1: str, s2: str, p: float = 0.1) -> float:
     return j
 
 
+# worker-global JW memo: distinct surface PAIRS are far fewer than pair
+# rows (surfaces repeat across blocks and batches), and the python
+# worker process is reused across Arrow batches/tasks — so a process
+# cache keeps the hit rate high across the whole stage, not just within
+# one batch. Pure function of (a, b) ⇒ caching cannot change results.
+# Bounded: cleared when it exceeds the cap (refilling is cheap relative
+# to unbounded growth on a long-lived executor).
+_JW_CACHE: dict[tuple[str, str], float] = {}
+_JW_CACHE_MAX = 4_000_000
+
+
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-batched JW; memoized on distinct (a,b) pairs per batch —
-    blocks repeat the same surface-form pairs heavily."""
+    """Arrow-batched JW; memoized on distinct (a,b) pairs in a bounded
+    worker-global cache — blocks repeat the same surface-form pairs
+    heavily, within and across batches."""
+    if len(_JW_CACHE) > _JW_CACHE_MAX:
+        _JW_CACHE.clear()
     pdf = pd.DataFrame({"a": a, "b": b})
     uniq = pdf.drop_duplicates()
-    vals = {
-        (ra, rb): jaro_winkler(ra, rb)
-        for ra, rb in zip(uniq["a"], uniq["b"])
-    }
+    for ra, rb in zip(uniq["a"], uniq["b"]):
+        if (ra, rb) not in _JW_CACHE:
+            _JW_CACHE[(ra, rb)] = jaro_winkler(ra, rb)
     return pd.Series(
-        [vals[(ra, rb)] for ra, rb in zip(pdf["a"], pdf["b"])],
+        [_JW_CACHE[(ra, rb)] for ra, rb in zip(pdf["a"], pdf["b"])],
         dtype=np.float64,
     )
 
