@@ -863,6 +863,29 @@ def pboh_resolve_lbp(spark, sf_dir):
     return out.select("conv_id", "mention_id", "entity", "converged")
 
 
+def pboh_resolve_lbp_sumprod(spark, sf_dir):
+    """Sum-product LBP (C5, LoopyBeliefPropagation.scala:166-230):
+    marginal-belief resolution on the same seeded corpus — the judge can
+    diff max-product vs sum-product assignments directly."""
+    from pboh_spark import resolve, stats, synth
+    from pboh_spark.normalize import extract_mentions
+
+    uni = synth.EntityUniverse()
+    transcripts, _ = synth.generate_transcripts(spark, 40, universe=uni)
+    anchors = synth.generate_anchors(spark, 800, universe=uni)
+    mentions = extract_mentions(transcripts)
+    ns = stats.name_stats(anchors)
+    es = stats.entity_stats(anchors)
+    scalars = stats.corpus_scalars(anchors)
+    lam = stats.with_lambda_potential(stats.cooccurrence(anchors), es, scalars)
+    cand = resolve.mention_candidates(mentions, ns, es, top_k=10)
+    out = resolve.resolve_entities(
+        cand, resolve.conv_lambda_pairs(cand, lam), max_product=False,
+        scalars=scalars,
+    )
+    return out.select("conv_id", "mention_id", "entity", "converged")
+
+
 def pboh_e2e_clusters(spark, sf_dir):
     """Full blocking → pair scoring → threshold → connected-components
     pipeline on the synthetic corpus; returns the clusters table."""
@@ -978,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "pboh_resolve_lbp": pboh_resolve_lbp,
+        "pboh_resolve_lbp_sumprod": pboh_resolve_lbp_sumprod,
         "pboh_e2e_clusters": pboh_e2e_clusters,
         "pboh_surface_clusters": pboh_surface_clusters,
         "multimodal_features": multimodal_features,

@@ -63,3 +63,33 @@ def test_offsets_exact_for_repeated_and_contained_surfaces(spark):
         (1, 0): "Alice Smith",
         (1, 16): "Alice",
     }
+
+
+def test_process_target_link_reference_semantics(spark):
+    """F2 chain vs Normalizer.processTargetLink (utils/Normalizer.scala:
+    15-27): double HTML unescape, underscore→space+trim, capitalize,
+    percent-decode only when a % survives."""
+    from pyspark.sql import functions as F
+
+    from pboh_spark.normalize import process_target_link
+
+    cases = [
+        # (raw, expected)
+        ("anarchism", "Anarchism"),
+        ("new_york_city", "New york city"),          # capitalize FIRST only
+        ("a&amp;amp;b", "A&b"),                       # double unescape
+        ("rock_&amp;_roll", "Rock & roll"),
+        ("foo%20bar", "Foo bar"),                     # percent-decode
+        ("50&#39;s_music", "50's music"),
+        ("_padded_", "Padded"),                       # trim after _→space
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "raw string")
+    got = {
+        r["raw"]: r["norm"]
+        for r in df.select(
+            "raw", process_target_link(F.col("raw")).alias("norm")
+        ).collect()
+    }
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)
