@@ -224,6 +224,26 @@ def candidate_pairs(blocked: DataFrame) -> DataFrame:
     )
 
 
+def attach_embeddings(
+    pairs: DataFrame,
+    embeddings: DataFrame,
+    id_col: str = "mention_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach per-side embedding vectors to a pair table as
+    ``vec_a``/``vec_b`` (two narrow-keyed joins after pair dedup — the
+    same late-attach discipline as the string attributes in
+    candidate_pairs; AQE broadcasts when the embedding dim table fits).
+    score_pairs then fuses embedding-cosine into the score."""
+    ea = embeddings.select(
+        F.col(id_col).alias("mention_id_a"), F.col(vec_col).alias("vec_a")
+    )
+    eb = embeddings.select(
+        F.col(id_col).alias("mention_id_b"), F.col(vec_col).alias("vec_b")
+    )
+    return pairs.join(ea, "mention_id_a", "left").join(eb, "mention_id_b", "left")
+
+
 def score_pairs(
     pairs: DataFrame,
     lambda_pairs: DataFrame | None = None,
@@ -231,6 +251,7 @@ def score_pairs(
     w_lev: float = 0.15,
     w_prior: float = 0.40,
     w_lambda: float = 0.10,
+    w_cos: float = 0.0,
     threshold: float = 0.65,
 ) -> DataFrame:
     """Adds similarity features + fused score + is_match_pred.
@@ -239,6 +260,12 @@ def score_pairs(
     is the (e1, e2, lambda_potential) table from stats.with_lambda_potential;
     the pair's top shared candidate hitting the *same* entity is full
     pairwise agreement, different top candidates draw the PMI term.
+
+    ``w_cos > 0`` additionally fuses embedding-cosine (north_star's
+    third similarity): requires ``vec_a``/``vec_b`` columns (see
+    attach_embeddings); the cosine is mapped to [0,1] and pairs with a
+    missing vector fall back to the neutral 0.5 — JVM-side
+    zip_with/aggregate, no UDF.
     """
     maxlen = F.greatest(F.length("ngram_a"), F.length("ngram_b"))
     lev_sim = (
@@ -304,6 +331,20 @@ def score_pairs(
         + F.lit(w_prior) * F.least(F.col("prior_agreement") * 2.0, F.lit(1.0))
         + F.lit(w_lambda) * F.col("lambda_norm")
     )
+    if w_cos > 0:
+        if "vec_a" not in scored.columns or "vec_b" not in scored.columns:
+            raise ValueError(
+                "w_cos > 0 needs vec_a/vec_b columns — attach them with "
+                "pairs.attach_embeddings(pairs, embeddings)"
+            )
+        from pboh_spark.ops.simsearch import with_cosine
+
+        scored = with_cosine(scored, "vec_a", "vec_b", "emb_cosine")
+        cos01 = (F.col("emb_cosine") + 1.0) / 2.0
+        scored = scored.withColumn(
+            "emb_cos_sim", F.coalesce(cos01, F.lit(0.5))
+        )
+        score = score + F.lit(w_cos) * F.col("emb_cos_sim")
     return scored.withColumn("score", score).withColumn(
         "is_match_pred", F.col("score") >= F.lit(threshold)
     )

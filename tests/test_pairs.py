@@ -82,3 +82,43 @@ def test_score_separation(spark):
         ("summit logistics holdings", "summit capital holdings")
     ]["is_match_pred"]
     assert not out[("walter schneider", "petra takahashi")]["is_match_pred"]
+
+
+def test_embedding_cosine_fuses_into_score(spark):
+    """north_star's third similarity: identical vectors must raise the
+    fused score above orthogonal ones, missing vectors take the neutral
+    0.5, and w_cos=0 leaves the classic score untouched."""
+    import pandas as pd
+
+    from pboh_spark import pairs as pm
+
+    rows = pd.DataFrame(
+        {
+            "mention_id_a": [1, 3, 5],
+            "mention_id_b": [2, 4, 6],
+            "ngram_a": ["acme corp", "acme corp", "acme corp"],
+            "ngram_b": ["acme corp", "acme corp", "acme corp"],
+            "prior_agreement": [0.5, 0.5, 0.5],
+            "shared_entity": [None, None, None],
+            "vec_a": [[1.0, 0.0], [1.0, 0.0], None],
+            "vec_b": [[1.0, 0.0], [0.0, 1.0], None],
+        }
+    )
+    df = spark.createDataFrame(
+        rows,
+        "mention_id_a bigint, mention_id_b bigint, ngram_a string, "
+        "ngram_b string, prior_agreement double, shared_entity bigint, "
+        "vec_a array<double>, vec_b array<double>",
+    )
+    out = {
+        r["mention_id_a"]: r
+        for r in pm.score_pairs(df, w_cos=0.2).collect()
+    }
+    same, orth, miss = out[1], out[3], out[5]
+    assert abs(same["emb_cos_sim"] - 1.0) < 1e-9
+    assert abs(orth["emb_cos_sim"] - 0.5) < 1e-9
+    assert abs(miss["emb_cos_sim"] - 0.5) < 1e-9
+    assert same["score"] > orth["score"]
+    # w_cos=0 (default) is byte-compatible with the classic score
+    base = {r["mention_id_a"]: r["score"] for r in pm.score_pairs(df).collect()}
+    assert abs(base[1] - base[3]) < 1e-12
