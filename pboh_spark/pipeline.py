@@ -13,6 +13,7 @@ Run: spark-submit --py-files pboh_spark.zip -m pboh_spark.pipeline
 from __future__ import annotations
 
 import argparse
+import sys
 import json
 import time
 
@@ -175,6 +176,20 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark(cores=args.cores, app_name="pboh_pipeline")
+    # under spark-submit the JVM is already up when this code runs, so
+    # session.py's spark.driver.memory conf is a no-op — a default 1g
+    # heap OOMs the 32-thread local pipeline past ~1000 conversations.
+    # Surface it loudly instead of dying mid-stage.
+    heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    n_threads = spark.sparkContext.defaultParallelism
+    if heap < 4 << 30 and n_threads >= 16:
+        print(
+            f"WARNING: driver heap is only {heap / (1 << 30):.1f} GiB for "
+            f"{n_threads} local task threads — pass --driver-memory 8g to "
+            "spark-submit (in-code spark.driver.memory cannot resize a "
+            "running JVM)",
+            file=sys.stderr,
+        )
     uni = synth.EntityUniverse()
     if args.input:
         transcripts = spark.read.parquet(args.input)
