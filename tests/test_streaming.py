@@ -119,3 +119,44 @@ def test_stateful_surface_stats_accumulates_across_restarts(
         ).collect()
     }
     assert latest_totals() == want_all
+
+
+def test_streamed_ingest_then_batch_linkage_matches_batch(
+    spark, universe, anchors, tmp_path
+):
+    """The lambda-architecture split end-to-end: mentions land via the
+    streaming foreachBatch sink (two drains), then the BATCH linkage
+    stages (blocking → pairs → CC) run over the appended table — the
+    resulting clusters must be identical to running everything batch.
+    (Transitive clustering is a global fixpoint, so linkage re-runs as a
+    periodic batch job; only stage 1 streams.)"""
+    from pboh_spark import blocking, cluster, stats
+    from pboh_spark import pairs as pairs_mod
+
+    base = str(tmp_path)
+    t = _write_two_chunks(spark, universe, base)
+
+    q = streaming.incremental_extract(
+        streaming.stream_transcripts(spark, f"{base}/in/*"),
+        f"{base}/mentions", f"{base}/ck_lm",
+    )
+    q.awaitTermination(120)
+    streamed_mentions = spark.read.parquet(f"{base}/mentions").drop("batch_id")
+
+    ns = stats.name_stats(anchors)
+
+    def clusters_from(mentions):
+        cb = blocking.candidate_blocks(mentions, ns, top_k=10)
+        mh = blocking.minhash_blocks(mentions, ns, oov_only=True)
+        salted, _ = blocking.salt_and_cap(cb.unionByName(mh), cap=512)
+        scored = pairs_mod.score_pairs(pairs_mod.candidate_pairs(salted))
+        comp = cluster.connected_components(scored.where("is_match_pred"))
+        blocking.release_persisted()
+        return {
+            r["mention_id"]: r["cluster_id"]
+            for r in cluster.clusters_table(mentions, comp).collect()
+        }
+
+    got = clusters_from(streamed_mentions)
+    want = clusters_from(extract_mentions(t))
+    assert got == want
