@@ -180,3 +180,79 @@ class EntityLinker:
                 bool(conv),
             )
         return out
+
+
+def format_annotations(anns: list[Annotation]) -> str:
+    """One line per mention, ≙ the console's ALL-predictions output
+    (ConsoleEntityLinking.scala:133-137): mention<TAB>entity<TAB>score;
+    unknown mentions print entity −1."""
+    return "\n".join(
+        f"{a.mention}\t{a.entity}\t"
+        f"{'nan' if a.score != a.score else f'{a.score:.4f}'}"
+        for a in anns
+    )
+
+
+def main() -> None:
+    """Console REPL — the analogue of the reference's only public
+    surface (console_el/ConsoleEntityLinking.scala:44-91): each stdin
+    line is one conversation's mentions, comma-split; an optional
+    ``| e1 e2 ...`` suffix supplies known context entity ids. Prints
+    every prediction with its score. Statistics come from parquet
+    tables (--name-stats/--entity-stats/--lambda) or, with --synth,
+    from the seeded synthetic corpus (demo mode)."""
+    import argparse
+    import sys as _sys
+
+    ap = argparse.ArgumentParser(description="pboh_spark console linker")
+    ap.add_argument("--name-stats", help="parquet path: stage-2 name_stats")
+    ap.add_argument("--entity-stats", help="parquet path: stage-2 entity_stats")
+    ap.add_argument("--lambda-table", help="parquet path: stage-2 lambda table")
+    ap.add_argument("--synth", action="store_true",
+                    help="build stats from the seeded synthetic corpus")
+    ap.add_argument("--top-k", type=int, default=10)
+    ap.add_argument("--sum-product", action="store_true",
+                    help="marginal (sum-product) scores instead of max-product")
+    args = ap.parse_args()
+
+    from pboh_spark import stats as stats_mod
+    from pboh_spark.session import get_spark
+
+    spark = get_spark(cores=8, app_name="pboh_console", shuffle_partitions=16)
+    if args.synth or not args.name_stats:
+        from pboh_spark import synth
+
+        uni = synth.EntityUniverse()
+        anchors = synth.generate_anchors(spark, 3000, universe=uni)
+        ns = stats_mod.name_stats(anchors)
+        es = stats_mod.entity_stats(anchors)
+        cooc = stats_mod.cooccurrence(anchors).persist()
+        scalars = stats_mod.corpus_scalars(anchors, cooc=cooc)
+        lam = stats_mod.with_lambda_potential(cooc, es, scalars)
+    else:
+        ns = spark.read.parquet(args.name_stats)
+        es = spark.read.parquet(args.entity_stats)
+        lam = spark.read.parquet(args.lambda_table)
+        scalars = None
+    linker = EntityLinker.from_tables(ns, es, lam, scalars, top_k=args.top_k)
+    print("ready — mentions comma-split, optional '| ctx ids':",
+          file=_sys.stderr)
+    for line in _sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        ctx: list[int] = []
+        if "|" in line:
+            line, ctx_part = line.split("|", 1)
+            ctx = [int(x) for x in ctx_part.split()]
+        mentions = [m.strip() for m in line.split(",") if m.strip()]
+        anns = linker.link(
+            mentions, context_entities=ctx,
+            max_product=not args.sum_product,
+        )
+        print(format_annotations(anns), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -94,3 +94,19 @@ def test_from_tables_prunes_to_candidate_closure(spark, universe, anchors):
     stray = int(_pack(np.array([1_000_000]), np.array([1_000_001]))[0])
     assert stray not in linker.lam_map
     assert linker.lam_map  # in-closure pairs still present
+
+
+def test_format_annotations_console_shape(spark, universe, anchors):
+    """Console output parity (ConsoleEntityLinking: ALL predictions with
+    scores; unknown mentions entity −1)."""
+    from pboh_spark.api import format_annotations
+
+    linker = _linker(spark, universe, anchors)
+    anns = linker.link([universe.canonical[0], "Zzqx Unknown"])
+    lines = format_annotations(anns).splitlines()
+    assert len(lines) == 2
+    m0, e0, s0 = lines[0].split("\t")
+    assert m0 == universe.canonical[0] and int(e0) == 0
+    float(s0)  # parseable score
+    m1, e1, s1 = lines[1].split("\t")
+    assert int(e1) == -1 and s1 == "nan"
