@@ -83,3 +83,20 @@ def test_cc_matches_union_find(spark, edges):
     # hash-to-min; vertex sets differ only by self-loop-only vertices,
     # which connected_components drops (u != v filter)
     assert got == {x: r for x, r in want.items()}
+
+
+# ---------------------------------------------------------------------------
+# int-pair packing (F8) — symmetric + recoverable (pure numpy)
+# ---------------------------------------------------------------------------
+
+@given(st.integers(0, 2**31 - 1), st.integers(0, 2**31 - 1))
+def test_pack_symmetric_and_recoverable(a, b):
+    import numpy as np
+
+    from pboh_spark.resolve import _pack
+
+    p1 = int(_pack(np.array([a]), np.array([b]))[0])
+    p2 = int(_pack(np.array([b]), np.array([a]))[0])
+    assert p1 == p2  # unordered-pair key
+    lo, hi = p1 >> 32, p1 & 0xFFFFFFFF
+    assert (lo, hi) == (min(a, b), max(a, b))  # injective, recoverable
