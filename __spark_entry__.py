@@ -395,9 +395,13 @@ def scan_gzip_roundtrip(spark, sf_dir):
     ).write.mode("overwrite").option("compression", "gzip").text(path)
     back = spark.read.text(path)
     parts = F.split("value", "\t")
+    # try_element_at: a NULL-text doc writes a tab-less line (concat_ws
+    # drops the null md5) — under ANSI mode a bare parts[1] would abort
+    # the job on the 1-element array; NULL here matches the oracle's
+    # md5(NULL)
     return back.select(
-        parts[0].cast("bigint").alias("doc_id"),
-        parts[1].alias("content_hash"),
+        F.try_element_at(parts, F.lit(1)).cast("bigint").alias("doc_id"),
+        F.try_element_at(parts, F.lit(2)).alias("content_hash"),
     )
 
 
@@ -1865,10 +1869,17 @@ def oracle_sql() -> dict[str, str]:
     # pipelines, binary mapInPandas): golden-row VALUES oracles generated
     # from the seeded corpora by tools/gen_golden_oracles.py, which proves
     # determinism by matching outputs across two parallelism levels.
+    # A missing module is a PACKAGING bug (stale --py-files zip, underscore
+    # exclusion) — failing loudly beats silently downgrading five queries
+    # from value-checked to rows-only.
     try:
         from pboh_spark._golden_oracles import GOLDEN_SQL
-    except ImportError:
-        GOLDEN_SQL = {}
+    except ImportError as exc:
+        raise RuntimeError(
+            "pboh_spark._golden_oracles missing — the packaged zip is stale "
+            "or excludes underscore modules; regenerate with "
+            "`python tools/gen_golden_oracles.py` and rebuild the zip"
+        ) from exc
     return {
         **GOLDEN_SQL,
         "rel_q1_pricing_summary": q1,

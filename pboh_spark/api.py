@@ -79,46 +79,87 @@ class EntityLinker:
         name dictionary is collected. The raw lambda table is entity-pair
         bound (~10^9 rows at reference scale,
         EntityCooccurrenceIndex.scala:44) — collecting it whole would OOM
-        the driver — so it is semi-join-pruned to pairs where BOTH
-        endpoints are top-``top_k`` candidates of some name (≤ |names|·k
-        entities, ≤ (|names|·k)² pairs, in practice ≪ because cocitation
-        is sparse). ``max_lambda_rows`` is a hard ceiling: exceeding it
+        the driver — so it is pruned to pairs with at least ONE endpoint
+        in the top-``top_k`` candidate closure (one-endpoint, not both:
+        caller-supplied context entities outside every name's top-k keep
+        their steering pairs; size = Σ cocitation degree over ≤ |names|·k
+        closure entities). ``max_lambda_rows`` is a hard ceiling: exceeding it
         raises instead of silently ballooning the driver heap — shrink
         top_k or serve via the distributed path (resolve.resolve_entities).
         """
         from pyspark.sql import functions as F
 
         w = weights or ScorerWeights()
-        cands_df = name_stats.where(f"rank <= {top_k}").select(
-            "name", "entity", "prob"
+        # collect the dictionary ONCE and derive the closure locally —
+        # avoids re-running the name_stats rank window for each of the
+        # pruning joins below
+        cands_rows = (
+            name_stats.where(f"rank <= {top_k}")
+            .select("name", "entity", "prob")
+            .collect()
         )
         cand: dict[str, list[tuple[int, float]]] = {}
-        for r in cands_df.collect():
+        closure_ids: set[int] = set()
+        for r in cands_rows:
             cand.setdefault(r["name"], []).append((int(r["entity"]), float(r["prob"])))
-        closure = cands_df.select("entity").distinct()
-        pop = {
-            int(r["entity"]): float(r["log_pop"])
-            for r in entity_stats.select("entity", "log_pop")
-            .join(closure, "entity", "left_semi")
-            .collect()
-        }
+            closure_ids.add(int(r["entity"]))
+        spark = lambda_table.sparkSession
+        closure = spark.createDataFrame(
+            [(e,) for e in sorted(closure_ids)], "entity bigint"
+        )
+        # keep lambda rows with EITHER endpoint in the closure: the other
+        # endpoint may be a caller-supplied context entity (the REPL's
+        # '| e1 e2' steering) — a both-endpoint prune would silently
+        # neutralize context entities outside every name's top-k. Size is
+        # Σ cocitation degree over the closure — still ≪ the full
+        # entity-pair table, and the ceiling below still guards it.
+        c1 = closure.select(F.col("entity").alias("e1")).withColumn(
+            "in1", F.lit(1)
+        )
+        c2 = closure.select(F.col("entity").alias("e2")).withColumn(
+            "in2", F.lit(1)
+        )
         lam_pruned = (
             lambda_table.select("e1", "e2", "lambda_potential")
-            .join(closure.select(F.col("entity").alias("e1")), "e1", "left_semi")
-            .join(closure.select(F.col("entity").alias("e2")), "e2", "left_semi")
+            .join(F.broadcast(c1), "e1", "left")
+            .join(F.broadcast(c2), "e2", "left")
+            .where(F.col("in1").isNotNull() | F.col("in2").isNotNull())
+            .select("e1", "e2", "lambda_potential")
+            .persist()
         )
-        n_lam = lam_pruned.count()
-        if n_lam > max_lambda_rows:
-            raise ValueError(
-                f"pruned lambda table has {n_lam} rows > max_lambda_rows="
-                f"{max_lambda_rows}; lower top_k or use the distributed "
-                "resolve.resolve_entities path instead of a driver-side linker"
+        try:
+            n_lam = lam_pruned.count()
+            if n_lam > max_lambda_rows:
+                raise ValueError(
+                    f"pruned lambda table has {n_lam} rows > max_lambda_rows="
+                    f"{max_lambda_rows}; lower top_k or use the distributed "
+                    "resolve.resolve_entities path instead of a driver-side "
+                    "linker"
+                )
+            lam_rows = lam_pruned.collect()
+            # popularity for every entity the kernel can touch: closure ∪
+            # lambda endpoints (covers context entities with any
+            # cocitation history; isolated ones fall back to 0.0, where
+            # they carry no pair evidence anyway)
+            needed = (
+                closure.select("entity")
+                .union(lam_pruned.select(F.col("e1").alias("entity")))
+                .union(lam_pruned.select(F.col("e2").alias("entity")))
+                .distinct()
             )
+            pop = {
+                int(r["entity"]): float(r["log_pop"])
+                for r in entity_stats.select("entity", "log_pop")
+                .join(needed, "entity", "left_semi")
+                .collect()
+            }
+        finally:
+            lam_pruned.unpersist()
         lam = {
             int(_pack(np.array([r["e1"]]), np.array([r["e2"]]))[0]): float(
                 r["lambda_potential"]
             )
-            for r in lam_pruned.collect()
+            for r in lam_rows
         }
         if scalars:
             n = float(max(scalars.get("num_total_pairs", 1), 1))
@@ -218,6 +259,12 @@ def main() -> None:
     from pboh_spark import stats as stats_mod
     from pboh_spark.session import get_spark
 
+    paths = (args.name_stats, args.entity_stats, args.lambda_table)
+    if not args.synth and any(paths) and not all(paths):
+        ap.error(
+            "--name-stats, --entity-stats and --lambda-table must be "
+            "given together (or use --synth)"
+        )
     spark = get_spark(cores=8, app_name="pboh_console", shuffle_partitions=16)
     if args.synth or not args.name_stats:
         from pboh_spark import synth
@@ -244,7 +291,14 @@ def main() -> None:
         ctx: list[int] = []
         if "|" in line:
             line, ctx_part = line.split("|", 1)
-            ctx = [int(x) for x in ctx_part.split()]
+            try:
+                ctx = [int(x) for x in ctx_part.split()]
+            except ValueError:
+                print(
+                    f"error: context ids must be integers, got {ctx_part!r}",
+                    file=_sys.stderr,
+                )
+                continue
         mentions = [m.strip() for m in line.split(",") if m.strip()]
         anns = linker.link(
             mentions, context_entities=ctx,

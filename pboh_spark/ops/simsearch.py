@@ -35,10 +35,18 @@ def _norm(a):
 
 
 def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
-    """cosine(a,b) as a pure column expression (whole-stage codegen)."""
+    """cosine(a,b) as a pure column expression (whole-stage codegen).
+
+    Zero-norm vectors (the common failed-embed sentinel) yield NULL
+    instead of aborting the job: under ANSI mode (Spark 4 default here)
+    a bare dot/(na*nb) raises DIVIDE_BY_ZERO and kills the whole stage
+    the moment one all-zeros embedding appears. NULL propagates to the
+    callers' documented fallbacks (threshold filters drop it; score
+    fusion coalesces to neutral)."""
     ca, cb = F.col(a).cast("array<double>"), F.col(b).cast("array<double>")
+    denom = _norm(ca) * _norm(cb)
     return df.withColumn(
-        out, _dot(ca, cb) / (_norm(ca) * _norm(cb))
+        out, F.when(denom > 0, _dot(ca, cb) / denom)
     )
 
 
@@ -187,12 +195,19 @@ def ivf_topk(
     to pick n_cells rows; at 100 TB raise ``prefix_len`` so the pool
     stays ~64·n_cells. Deterministic, hence oracle-checkable."""
     hashed = F.md5(F.concat(F.col("cid").cast("string"), F.lit(str(seed))))
+    base = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     cents = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .where(F.substring(hashed, 1, prefix_len) == "0" * prefix_len)
+        base.where(F.substring(hashed, 1, prefix_len) == "0" * prefix_len)
         .orderBy(hashed)
         .limit(n_cells)
     )
+    # tiny-corpus guard: a 16^-prefix_len pool smaller than n_cells means
+    # the corpus itself is ≲ 16^prefix_len·n_cells rows — at that size a
+    # global hash-ordered pick is cheap AND avoids silently returning
+    # fewer (or zero) centroids → empty results. One bounded driver-side
+    # count (limit n_cells) decides; at real scale the pool always wins.
+    if cents.limit(n_cells).count() < n_cells:
+        cents = base.orderBy(hashed).limit(n_cells)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )

@@ -81,10 +81,13 @@ def jaro_winkler(s1: str, s2: str, p: float = 0.1) -> float:
 # worker process is reused across Arrow batches/tasks — so a process
 # cache keeps the hit rate high across the whole stage, not just within
 # one batch. Pure function of (a, b) ⇒ caching cannot change results.
-# Bounded: cleared when it exceeds the cap (refilling is cheap relative
-# to unbounded growth on a long-lived executor).
+# Bound: 1M entries ≈ 300-400 MB/worker worst case (×N workers per host
+# — memory OUTSIDE Spark's accounting, so the cap must stay well under
+# spark.executor.pyspark.memory); overflow evicts the OLDEST half
+# (insertion-ordered dict) instead of clearing, so the hot tail of the
+# working set survives.
 _JW_CACHE: dict[tuple[str, str], float] = {}
-_JW_CACHE_MAX = 4_000_000
+_JW_CACHE_MAX = 1_000_000
 
 
 @F.pandas_udf(T.DoubleType())
@@ -93,7 +96,8 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     worker-global cache — blocks repeat the same surface-form pairs
     heavily, within and across batches."""
     if len(_JW_CACHE) > _JW_CACHE_MAX:
-        _JW_CACHE.clear()
+        for k in list(_JW_CACHE.keys())[: len(_JW_CACHE) // 2]:
+            del _JW_CACHE[k]
     pdf = pd.DataFrame({"a": a, "b": b})
     uniq = pdf.drop_duplicates()
     for ra, rb in zip(uniq["a"], uniq["b"]):

@@ -101,8 +101,13 @@ def run_pipeline(
         ),
         upstream=[f"s3_blocked{sfx}", "s2_lambda"],
         # match count rides the stage-write job (df.observe — A4), no
-        # separate scan of the scored table afterwards
-        observe={"n_matches": F.sum(F.col("is_match_pred").cast("bigint"))},
+        # separate scan of the scored table afterwards; coalesce because
+        # SUM over an empty stage observes NULL, not 0
+        observe={
+            "n_matches": F.coalesce(
+                F.sum(F.col("is_match_pred").cast("bigint")), F.lit(0)
+            )
+        },
     )
 
     components = ck.run_stage(
@@ -140,18 +145,31 @@ def run_pipeline(
             observe={"pct_converged": F.avg(F.col("converged").cast("int"))},
         )
         sm = ck.stage_metrics("s5_assignments")
+        pct = sm.get("observed", {}).get("pct_converged")
+        if pct is None:
+            # stage resumed from a checkpoint written before the observe()
+            # change (its metrics.json has no 'observed') — compute once
+            assignments = spark.read.parquet(
+                str(ck._paths("s5_assignments")[0])
+            )
+            pct = assignments.agg(
+                F.avg(F.col("converged").cast("int"))
+            ).collect()[0][0]
         metrics["lbp"] = {
             "n_assignments": sm.get("rows"),
-            "pct_converged": sm.get("observed", {}).get("pct_converged"),
+            "pct_converged": pct,
         }
 
     # row counts come from the stage metrics (counted once during the
     # checkpoint write); n_matches from the observed aggregate — the only
     # post-hoc action left is the distinct cluster count
     metrics["n_pairs_scored"] = ck.stage_metrics(f"s4_pairs{sfx}").get("rows")
-    metrics["n_matches"] = (
-        ck.stage_metrics(f"s4_pairs{sfx}").get("observed", {}).get("n_matches")
+    n_matches = ck.stage_metrics(f"s4_pairs{sfx}").get("observed", {}).get(
+        "n_matches"
     )
+    if n_matches is None:  # pre-observe checkpoint resumed — count once
+        n_matches = scored.where("is_match_pred").count()
+    metrics["n_matches"] = n_matches
     metrics["n_clusters"] = clusters.select("cluster_id").distinct().count()
     metrics["text_equality_violations"] = normalize.verify_text_equality(
         transcripts, normalize.normalize_turns(transcripts)

@@ -242,3 +242,27 @@ def test_simhash_pairs_exact_over_hamming_ball(spark, docs):
         .collect()
     }
     assert banded == brute and len(banded) > 0
+
+
+def test_zero_norm_embedding_does_not_abort(spark, emb):
+    """A zero vector (failed-embed sentinel) must yield NULL cosine and
+    flow through the documented fallbacks — not abort the job with
+    DIVIDE_BY_ZERO under ANSI mode."""
+    import pandas as pd
+
+    zero = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [9_000_000],
+             "embedding": [[0.0] * len(emb.first()["embedding"])]}
+        ),
+        "vec_id bigint, embedding array<float>",
+    )
+    both = emb.select("vec_id", "embedding").unionByName(zero)
+    # threshold filter drops the NULL-cosine pairs; no exception
+    pairs = dedup.embedding_neardup_pairs(both, threshold=0.4)
+    assert pairs.where("id_a = 9000000 OR id_b = 9000000").count() == 0
+    # direct cosine of zero vs itself is NULL, not an error
+    row = simsearch.with_cosine(
+        zero.selectExpr("embedding as a", "embedding as b"), "a", "b"
+    ).first()
+    assert row["cosine"] is None
