@@ -939,6 +939,35 @@ def pboh_surface_clusters(spark, sf_dir):
     )
 
 
+def pboh_threshold_grid(spark, sf_dir):
+    """L5 hyperparameter grid search (FewParamsLearning.scala:146-207) as
+    ONE distributed pass: every labeled pair explodes over the threshold
+    grid, one groupBy aggregates P/R/F1 for all 17 thresholds at once."""
+    from pboh_spark import blocking, evaluate, stats, synth
+    from pboh_spark import pairs as pairs_mod
+    from pboh_spark.normalize import extract_mentions
+
+    uni = synth.EntityUniverse()
+    transcripts, gold = synth.generate_transcripts(spark, 40, universe=uni)
+    anchors = synth.generate_anchors(spark, 800, universe=uni)
+    mentions = extract_mentions(transcripts)
+    ns = stats.name_stats(anchors)
+    cb = blocking.candidate_blocks(mentions, ns, top_k=10)
+    mh = blocking.minhash_blocks(mentions, ns, oov_only=True)
+    blocked = cb.unionByName(mh)
+    salted, _ = blocking.salt_and_cap(blocked, cap=512)
+    scored = pairs_mod.score_pairs(pairs_mod.candidate_pairs(salted))
+    lp = evaluate.build_labeled_pairs(gold, blocked)
+    grid = evaluate.calibrate_threshold(scored, lp)
+    blocking.release_persisted()
+    return grid.select(
+        "threshold", "tp", "fp", "fn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payloads → mapInPandas feature extraction
     (decode stubbed deterministically; rows-only)."""
@@ -1008,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pboh_resolve_lbp_sumprod": pboh_resolve_lbp_sumprod,
         "pboh_e2e_clusters": pboh_e2e_clusters,
         "pboh_surface_clusters": pboh_surface_clusters,
+        "pboh_threshold_grid": pboh_threshold_grid,
         "multimodal_features": multimodal_features,
     }
 
