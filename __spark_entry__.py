@@ -845,9 +845,9 @@ def ann_lsh_topk(spark, sf_dir):
 # synthetic-pipeline queries (rows-only: iterative LBP / full pipeline)
 # ---------------------------------------------------------------------------
 
-def pboh_resolve_lbp(spark, sf_dir):
-    """Bounded max-product LBP entity resolution (C4-C8) on the seeded
-    synthetic transcript corpus — the reference's flagship compute."""
+def _resolve_lbp(spark, max_product: bool):
+    """Shared body of the two LBP resolution queries: seeded corpus →
+    stats → candidates → bounded message passing (C4-C8)."""
     from pboh_spark import resolve, stats, synth
     from pboh_spark.normalize import extract_mentions
 
@@ -861,33 +861,23 @@ def pboh_resolve_lbp(spark, sf_dir):
     lam = stats.with_lambda_potential(stats.cooccurrence(anchors), es, scalars)
     cand = resolve.mention_candidates(mentions, ns, es, top_k=10)
     out = resolve.resolve_entities(
-        cand, resolve.conv_lambda_pairs(cand, lam), max_product=True,
+        cand, resolve.conv_lambda_pairs(cand, lam), max_product=max_product,
         scalars=scalars,
     )
     return out.select("conv_id", "mention_id", "entity", "converged")
+
+
+def pboh_resolve_lbp(spark, sf_dir):
+    """Bounded max-product LBP entity resolution (C4-C8) on the seeded
+    synthetic transcript corpus — the reference's flagship compute."""
+    return _resolve_lbp(spark, max_product=True)
 
 
 def pboh_resolve_lbp_sumprod(spark, sf_dir):
     """Sum-product LBP (C5, LoopyBeliefPropagation.scala:166-230):
     marginal-belief resolution on the same seeded corpus — the judge can
     diff max-product vs sum-product assignments directly."""
-    from pboh_spark import resolve, stats, synth
-    from pboh_spark.normalize import extract_mentions
-
-    uni = synth.EntityUniverse()
-    transcripts, _ = synth.generate_transcripts(spark, 40, universe=uni)
-    anchors = synth.generate_anchors(spark, 800, universe=uni)
-    mentions = extract_mentions(transcripts)
-    ns = stats.name_stats(anchors)
-    es = stats.entity_stats(anchors)
-    scalars = stats.corpus_scalars(anchors)
-    lam = stats.with_lambda_potential(stats.cooccurrence(anchors), es, scalars)
-    cand = resolve.mention_candidates(mentions, ns, es, top_k=10)
-    out = resolve.resolve_entities(
-        cand, resolve.conv_lambda_pairs(cand, lam), max_product=False,
-        scalars=scalars,
-    )
-    return out.select("conv_id", "mention_id", "entity", "converged")
+    return _resolve_lbp(spark, max_product=False)
 
 
 def pboh_e2e_clusters(spark, sf_dir):

@@ -206,7 +206,7 @@ def ivf_topk(
     # global hash-ordered pick is cheap AND avoids silently returning
     # fewer (or zero) centroids → empty results. One bounded driver-side
     # count (limit n_cells) decides; at real scale the pool always wins.
-    if cents.limit(n_cells).count() < n_cells:
+    if cents.count() < n_cells:
         cents = base.orderBy(hashed).limit(n_cells)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")

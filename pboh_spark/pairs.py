@@ -96,7 +96,9 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     worker-global cache — blocks repeat the same surface-form pairs
     heavily, within and across batches."""
     if len(_JW_CACHE) > _JW_CACHE_MAX:
-        for k in list(_JW_CACHE.keys())[: len(_JW_CACHE) // 2]:
+        from itertools import islice
+
+        for k in list(islice(iter(_JW_CACHE), len(_JW_CACHE) // 2)):
             del _JW_CACHE[k]
     pdf = pd.DataFrame({"a": a, "b": b})
     uniq = pdf.drop_duplicates()

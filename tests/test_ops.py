@@ -93,10 +93,8 @@ def test_lsh_recall(spark, emb):
     bf = simsearch.cosine_topk_bruteforce(emb, q, k=5)
     dim = len(emb.first()["embedding"])
     lsh = simsearch.lsh_topk(emb, q, dim=dim, k=5)
-    inter = bf.select("query_id", "neighbor_id").join(
-        lsh.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
-    )
-    assert inter.count() / bf.count() >= 0.5  # uniform-random worst case
+    r = simsearch.recall_at_k(lsh, bf)
+    assert 0.5 <= r <= 1.0  # uniform-random worst case
 
 
 def test_token_count_oracle(spark):
@@ -174,13 +172,6 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     assert r4 >= 0.3
     assert r8 >= r4 and r8 >= 0.6
 
-
-def test_lsh_recall_metric_helper(spark, emb):
-    q = emb.limit(10)
-    bf = simsearch.cosine_topk_bruteforce(emb, q, k=5)
-    lsh = simsearch.lsh_topk(emb, q, dim=len(emb.first()["embedding"]), k=5)
-    r = simsearch.recall_at_k(lsh, bf)
-    assert 0.0 <= r <= 1.0 and r >= 0.5
 
 
 def test_embedding_neardup_planted(spark, emb):
