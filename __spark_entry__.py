@@ -529,6 +529,50 @@ def stat_name_stats(spark, sf_dir):
     )
 
 
+def stat_name_stats_redirected(spark, sf_dir):
+    """Redirect resolution before p̂(e|m) (RedirectPagesIndex.scala:12-58):
+    ~40% of anchor rows are deterministically renamed to alias titles
+    (name~1, and name~2 forming a 2-hop chain), the redirect dim chases
+    them back to canonical (redirects.resolve_redirects — bounded
+    broadcast left-join chain), and name_stats then merges the mass that
+    aliasing had split. The oracle replicates the full alias + 2-hop
+    chase + stats pipeline in SQL."""
+    from pboh_spark import stats
+    from pboh_spark.redirects import resolve_redirects
+
+    anchors = _anchors(spark, sf_dir)
+    b = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                               F.col("name"))), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(5),
+    )
+    aliased = anchors.withColumn(
+        "name",
+        F.when(b == 0, F.concat(F.col("name"), F.lit("~1")))
+        .when(b == 1, F.concat(F.col("name"), F.lit("~2")))
+        .otherwise(F.col("name")),
+    )
+    names = anchors.select("name").distinct()
+    redirects = names.select(
+        F.concat(F.col("name"), F.lit("~1")).alias("alias"),
+        F.col("name").alias("canonical"),
+    ).unionByName(
+        names.select(
+            F.concat(F.col("name"), F.lit("~2")).alias("alias"),
+            F.concat(F.col("name"), F.lit("~1")).alias("canonical"),
+        )
+    )
+    resolved = resolve_redirects(aliased, redirects, "name", max_hops=2)
+    ns = stats.name_stats(resolved, top_k=5)
+    return ns.select(
+        "name", "entity", "freq", "total_freq",
+        F.round("prob", 6).alias("prob"), "rank",
+    )
+
+
 def stat_entity_stats(spark, sf_dir):
     """A5/A6 popularity + self-cocitation
     (EntityCooccurrenceIndex.scala:126-166)."""
@@ -1003,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_word_freq": stat_word_freq,
         "stat_argmax_entity": stat_argmax_entity,
         "stat_name_stats": stat_name_stats,
+        "stat_name_stats_redirected": stat_name_stats_redirected,
         "stat_entity_stats": stat_entity_stats,
         "stat_cooccurrence": stat_cooccurrence,
         "stat_lambda_potential": stat_lambda_potential,
@@ -1244,6 +1289,51 @@ def oracle_sql() -> dict[str, str]:
         freq AS (
             SELECT name, entity, count(*)::BIGINT AS freq
             FROM anchors GROUP BY name, entity
+        ),
+        ranked AS (
+            SELECT name, entity, freq,
+                   sum(freq) OVER (PARTITION BY name)::BIGINT AS total_freq,
+                   row_number() OVER (
+                       PARTITION BY name ORDER BY freq DESC, entity ASC) AS rank
+            FROM freq
+        )
+        SELECT name, entity, freq, total_freq,
+               round(freq::DOUBLE / total_freq, 6) AS prob,
+               rank::INT AS rank
+        FROM ranked WHERE rank <= 5
+    """
+    name_stats_redirected = f"""
+        WITH anchors AS ({_ANCHORS_SQL}),
+        aliased AS (
+            SELECT doc_id,
+                   CASE WHEN b = 0 THEN name || '~1'
+                        WHEN b = 1 THEN name || '~2'
+                        ELSE name END AS name,
+                   entity
+            FROM (
+                SELECT *,
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':' || name),
+                                       1, 8))::BIGINT % 5 AS b
+                FROM anchors
+            )
+        ),
+        rnames AS (SELECT DISTINCT name FROM anchors),
+        redirects AS (
+            SELECT name || '~1' AS alias, name AS canonical FROM rnames
+            UNION ALL
+            SELECT name || '~2' AS alias, name || '~1' AS canonical FROM rnames
+        ),
+        hop1 AS (
+            SELECT a.doc_id, coalesce(r.canonical, a.name) AS name, a.entity
+            FROM aliased a LEFT JOIN redirects r ON a.name = r.alias
+        ),
+        hop2 AS (
+            SELECT h.doc_id, coalesce(r.canonical, h.name) AS name, h.entity
+            FROM hop1 h LEFT JOIN redirects r ON h.name = r.alias
+        ),
+        freq AS (
+            SELECT name, entity, count(*)::BIGINT AS freq
+            FROM hop2 GROUP BY name, entity
         ),
         ranked AS (
             SELECT name, entity, freq,
@@ -1923,6 +2013,7 @@ def oracle_sql() -> dict[str, str]:
         "stat_word_freq": word_freq,
         "stat_argmax_entity": argmax_entity,
         "stat_name_stats": name_stats,
+        "stat_name_stats_redirected": name_stats_redirected,
         "stat_entity_stats": entity_stats,
         "stat_cooccurrence": cooccurrence,
         "stat_lambda_potential": lambda_potential,

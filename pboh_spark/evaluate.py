@@ -116,6 +116,68 @@ def pairwise_f1(
     }
 
 
+def macro_pairwise_f1(
+    labeled_pairs: DataFrame, components: DataFrame
+) -> dict[str, float]:
+    """Macro pairwise F1 — ≙ GlobalStats.scala:236-248 (macroF1): per-doc
+    precision and recall are averaged over documents FIRST, then combined
+    into one F1 (the reference divides macroSum{Precision,Recall} by
+    numVisitedDocs and takes F1 of the two averages — small conversations
+    weigh as much as large ones, unlike micro).
+
+    Conversations ⇒ documents; only within-conversation labeled pairs
+    (conv_id_a == conv_id_b) enter the macro, mirroring the reference's
+    strictly per-doc evaluation (cross-conv pairs belong to no single
+    doc; they are micro-only). Empty per-doc denominators score 1.0, the
+    same convention as ``pairwise_f1``.
+
+    One distributed groupBy(conv) + one scalar agg; nothing but the
+    metric row is collected.
+    """
+    la = components.select(
+        F.col("id").alias("mention_id_a"), F.col("cluster_id").alias("ca")
+    )
+    lb = components.select(
+        F.col("id").alias("mention_id_b"), F.col("cluster_id").alias("cb")
+    )
+    j = (
+        labeled_pairs.where(F.col("conv_id_a") == F.col("conv_id_b"))
+        .join(la, "mention_id_a", "left")
+        .join(lb, "mention_id_b", "left")
+        .withColumn(
+            "pred",
+            F.col("ca").isNotNull()
+            & F.col("cb").isNotNull()
+            & (F.col("ca") == F.col("cb")),
+        )
+    )
+    per_doc = j.groupBy(F.col("conv_id_a").alias("conv_id")).agg(
+        F.sum(F.when(F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("is_match"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("fn"),
+    )
+    p_doc = F.when(
+        F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))
+    ).otherwise(F.lit(1.0))
+    r_doc = F.when(
+        F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))
+    ).otherwise(F.lit(1.0))
+    row = per_doc.agg(
+        F.avg(p_doc).alias("macro_p"),
+        F.avg(r_doc).alias("macro_r"),
+        F.count("*").alias("n_docs"),
+    ).collect()[0]
+    if not row["n_docs"]:
+        return {"macro_precision": 1.0, "macro_recall": 1.0,
+                "macro_f1": 1.0, "n_docs": 0}
+    mp, mr = float(row["macro_p"]), float(row["macro_r"])
+    f1 = 2 * mp * mr / (mp + mr) if mp + mr else 0.0
+    return {
+        "macro_precision": mp, "macro_recall": mr, "macro_f1": f1,
+        "n_docs": int(row["n_docs"]),
+    }
+
+
 def calibrate_threshold(
     scored_pairs: DataFrame,
     labeled_pairs: DataFrame,

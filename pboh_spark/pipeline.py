@@ -142,7 +142,10 @@ def run_pipeline(
                 scalars=scalars,
             ),
             upstream=["s5_candidates", "s2_lambda"],
-            observe={"pct_converged": F.avg(F.col("converged").cast("int"))},
+            observe={
+                "pct_converged": F.avg(F.col("converged").cast("int")),
+                "avg_iters": F.avg(F.col("n_iters")),
+            },
         )
         sm = ck.stage_metrics("s5_assignments")
         pct = sm.get("observed", {}).get("pct_converged")
@@ -155,9 +158,17 @@ def run_pipeline(
             pct = assignments.agg(
                 F.avg(F.col("converged").cast("int"))
             ).collect()[0][0]
+        # bucketed convergence rollup ≙ GlobalStats.scala:200-209 — two
+        # tiny aggs over the checkpointed assignments parquet (column-
+        # pruned scan of a small table; the stage write itself already
+        # carried the global observes above)
+        assignments = spark.read.parquet(str(ck._paths("s5_assignments")[0]))
+        conv_rows = resolve.convergence_report(assignments).collect()
         metrics["lbp"] = {
             "n_assignments": sm.get("rows"),
             "pct_converged": pct,
+            "avg_iters": sm.get("observed", {}).get("avg_iters"),
+            "convergence_by_size": [r.asDict() for r in conv_rows],
         }
 
     # row counts come from the stage metrics (counted once during the
@@ -248,6 +259,7 @@ def main() -> None:
             comp = spark.read.parquet(str(ck._paths("s6_components")[0]))
             lp = evaluate.build_labeled_pairs(gold, blocked)
         metrics["pairwise"] = evaluate.pairwise_f1(lp, comp)
+        metrics["pairwise_macro"] = evaluate.macro_pairwise_f1(lp, comp)
     print(json.dumps(metrics, indent=1, default=str))
 
 

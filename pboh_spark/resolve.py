@@ -308,6 +308,44 @@ def resolve_entities(
     )
 
 
+def convergence_report(assignments: DataFrame) -> DataFrame:
+    """LBP convergence telemetry bucketed by conversation size —
+    ≙ GlobalStats.scala:200-209 (avg iters / % converged per doc rollup)
+    + the doc-size bucketing of GlobalStats.scala:116-141.
+
+    Input: the resolve_entities output (one row per mention; ``n_iters``
+    and ``converged`` are conversation-constant). Two cheap aggs over the
+    assignments table: per-conv collapse, then per-bucket rollup.
+    Returns (bucket, n_convs, n_mentions, avg_iters, max_iters,
+    pct_converged) — a handful of rows, safe to collect into metrics.
+    """
+    per_conv = assignments.groupBy("conv_id").agg(
+        F.count("*").alias("n_m"),
+        F.first("n_iters").alias("n_iters"),
+        F.first("converged").alias("converged"),
+    )
+    bucket = (
+        F.when(F.col("n_m") == 1, "1")
+        .when(F.col("n_m") == 2, "2")
+        .when(F.col("n_m") <= 10, "3-10")
+        .otherwise("11+")
+    )
+    return (
+        per_conv.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_convs"),
+            F.sum("n_m").alias("n_mentions"),
+            F.round(F.avg("n_iters"), 3).alias("avg_iters"),
+            F.max("n_iters").alias("max_iters"),
+            F.round(F.avg(F.col("converged").cast("int")), 4).alias(
+                "pct_converged"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
 def resolve_argmax(candidates: DataFrame) -> DataFrame:
     """ARGMAX baseline: independent per-mention max_e rho —
     md/MostFrequentEntity.scala:12-21, run side-by-side with LBP exactly

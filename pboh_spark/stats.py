@@ -173,7 +173,12 @@ def with_lambda_potential(
     (resolve._solve_conv), so only cocit>0 rows are materialized.
     Diagonal (e,e) rows are emitted from self-cocitation
     (EntityCooccurrenceIndex.scala:146-154,173-181).
-    Pure column arithmetic; ent_stats joins broadcast (small dim).
+    Pure column arithmetic. The ent_stats joins carry NO broadcast hint:
+    the entity catalog grows with the corpus (~300 MB at reference scale,
+    unbounded at 100×), so a forced hint would bypass AQE's size check
+    and OOM executors once the catalog outgrows the build side — AQE
+    broadcasts it exactly when it actually fits (same policy as
+    resolve.mention_candidates and pairs.score_pairs).
     """
     w = w or ScorerWeights()
     n_pairs = float(max(scalars.get("num_total_pairs", 1), 1))
@@ -195,9 +200,7 @@ def with_lambda_potential(
         F.col("popularity").alias("pop2"),
         F.col("log_pop").alias("log_pop2"),
     )
-    out = pairs.join(F.broadcast(e1s), "e1", "left").join(
-        F.broadcast(e2s), "e2", "left"
-    )
+    out = pairs.join(e1s, "e1", "left").join(e2s, "e2", "left")
     smoothed = F.greatest(
         F.col("cocit") - F.lit(w.delta_cocit), F.lit(0.0)
     ) + (

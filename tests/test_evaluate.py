@@ -1,0 +1,91 @@
+"""Evaluation metrics: micro vs macro pairwise F1 (GlobalStats.scala:236-248)
+and the LBP convergence telemetry rollup (GlobalStats.scala:200-209),
+checked against hand-computed fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from pboh_spark import evaluate, resolve
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    # conv A: triangle m1-m2-m3 all gold-matched; conv B: m4-m5 gold-matched,
+    # m4-m6 / m5-m6 not; one cross-conv pair (macro must exclude it)
+    rows = [
+        ("A", "A", 1, 2, True),
+        ("A", "A", 2, 3, True),
+        ("A", "A", 1, 3, True),
+        ("B", "B", 4, 5, True),
+        ("B", "B", 4, 6, False),
+        ("B", "B", 5, 6, False),
+        ("A", "B", 1, 4, False),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id_a string, conv_id_b string, mention_id_a bigint, "
+        "mention_id_b bigint, is_match boolean",
+    )
+
+
+@pytest.fixture(scope="module")
+def comps(spark):
+    # predicted: {m1,m2,m3} one cluster (conv A perfect);
+    # conv B wrong: m4 alone, {m5,m6} together
+    rows = [(1, 10), (2, 10), (3, 10), (4, 40), (5, 50), (6, 50)]
+    return spark.createDataFrame(rows, "id bigint, cluster_id bigint")
+
+
+def test_micro_f1_hand_computed(labeled, comps):
+    m = evaluate.pairwise_f1(labeled, comps)
+    # tp=3 (A triangle), fp=1 (m5-m6), fn=1 (m4-m5); cross-conv pair is a TN
+    assert (m["tp"], m["fp"], m["fn"]) == (3, 1, 1)
+    assert m["precision"] == pytest.approx(0.75)
+    assert m["recall"] == pytest.approx(0.75)
+    assert m["f1"] == pytest.approx(0.75)
+
+
+def test_macro_f1_hand_computed(labeled, comps):
+    """Macro = F1 of per-doc-AVERAGED precision/recall (reference divides
+    macro sums by numVisitedDocs before combining): conv A p=r=1, conv B
+    p=r=0 ⇒ macro p=r=0.5 ⇒ macro F1 0.5 — distinct from micro's 0.75."""
+    m = evaluate.macro_pairwise_f1(labeled, comps)
+    assert m["n_docs"] == 2
+    assert m["macro_precision"] == pytest.approx(0.5)
+    assert m["macro_recall"] == pytest.approx(0.5)
+    assert m["macro_f1"] == pytest.approx(0.5)
+
+
+def test_macro_f1_empty(spark, comps):
+    empty = spark.createDataFrame(
+        [],
+        "conv_id_a string, conv_id_b string, mention_id_a bigint, "
+        "mention_id_b bigint, is_match boolean",
+    )
+    m = evaluate.macro_pairwise_f1(empty, comps)
+    assert m == {
+        "macro_precision": 1.0, "macro_recall": 1.0, "macro_f1": 1.0,
+        "n_docs": 0,
+    }
+
+
+def test_convergence_report(spark):
+    rows = (
+        [("c1", 1, 100, 0.5, 0, True)]
+        + [("c2", i, 100 + i, 0.5, 5, True) for i in range(4)]
+        + [("c3", i, 200 + i, 0.5, 15, False) for i in range(12)]
+    )
+    assigns = spark.createDataFrame(
+        rows,
+        "conv_id string, mention_id bigint, entity bigint, score double, "
+        "n_iters int, converged boolean",
+    )
+    rep = {r["bucket"]: r.asDict() for r in
+           resolve.convergence_report(assigns).collect()}
+    assert set(rep) == {"1", "3-10", "11+"}
+    assert rep["1"]["n_convs"] == 1 and rep["1"]["avg_iters"] == 0.0
+    assert rep["3-10"]["n_mentions"] == 4
+    assert rep["3-10"]["pct_converged"] == 1.0
+    assert rep["11+"]["max_iters"] == 15
+    assert rep["11+"]["pct_converged"] == 0.0

@@ -89,6 +89,29 @@ def test_whole_stage_codegen_in_hot_paths(spark):
         assert "WholeStageCodegen subtree" in s, name
 
 
+def test_no_forced_broadcast_on_entity_stats(spark):
+    """stats.with_lambda_potential must not force-broadcast the entity
+    catalog (it grows with the corpus — a forced hint bypasses AQE's size
+    check and OOMs at scale). AQE-chosen broadcast is fine; a literal
+    F.broadcast() hint plans as ResolvedHint in the analyzed plan and is
+    banned here. Tested on the bare function (the contract query's
+    derived-anchor build legitimately broadcasts the bounded part dim)."""
+    from pboh_spark import stats
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 3)], "e1 bigint, e2 bigint, cocit bigint"
+    )
+    es = spark.createDataFrame(
+        [(1, 10.0, 0, 2.3), (2, 5.0, 0, 1.6)],
+        "entity bigint, popularity double, self_cocit bigint, log_pop double",
+    )
+    lam = stats.with_lambda_potential(
+        pairs, es, {"num_total_pairs": 100, "num_distinct_pairs": 10}
+    )
+    analyzed = lam._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+
+
 def test_scoring_udf_is_arrow_batched(plans):
     """The Jaro-Winkler UDF must appear as an Arrow eval, never row-wise."""
     p = plans["link_pair_scoring"]
