@@ -785,15 +785,40 @@ def dedup_jaccard_pairs(spark, sf_dir):
 
 
 def dedup_embedding_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact mode; the LSH-bucketed
-    scale path is pytest-covered on planted near-dups — uniform-random
-    test embeddings have no angularly-close pairs for LSH to exploit).
-    Threshold 0.42 is data-relative: the synthetic embeddings are
-    uniform, so their cosine tail is thin."""
+    """Embedding-cosine near-dup pairs, EXACT mode (use_lsh=False,
+    explicit): the quadratic all-pairs verification baseline that the
+    LSH path's recall is measured against — the default scale path is
+    dedup_embedding_lsh_pairs below. Threshold 0.42 is data-relative:
+    the synthetic embeddings are uniform, so their cosine tail is thin."""
     from pboh_spark.ops.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.42).select(
+    return embedding_neardup_pairs(emb, threshold=0.42, use_lsh=False).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def dedup_embedding_lsh_pairs(spark, sf_dir):
+    """Embedding near-dup dedup on the sign-LSH scale path (the
+    ``use_lsh=True`` DEFAULT of ops.dedup.embedding_neardup_pairs):
+    bucket self-join on (table, signature) ⇒ Σ bucket² pair space, then
+    exact cosine verification. Planted near-dups: every vec_id < 25 gets
+    a shifted-mix copy at id+100000 (v'[i] = v[i] + 0.05·v[(i+1) mod 64]
+    — exact IEEE ops only, so both engines derive bit-identical inputs);
+    the oracle replicates planting, the literal seeded hyperplanes, the
+    bucket join, and the threshold in SQL."""
+    from pboh_spark.ops.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    pert = F.transform(
+        v, lambda x, i: x + 0.05 * F.element_at(v, (i + 1) % 64 + 1)
+    )
+    dups = emb.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), pert.alias("embedding")
+    )
+    allv = emb.select("vec_id", v.alias("embedding")).unionByName(dups)
+    return embedding_neardup_pairs(allv, threshold=0.9, use_lsh=True).select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     )
 
@@ -973,6 +998,51 @@ def pboh_surface_clusters(spark, sf_dir):
     )
 
 
+def pboh_learn_weights(spark, sf_dir):
+    """L2/L3 distributed few-params weight learning
+    (FewParamsLearning.scala:289-507 pseudolikelihood loss+gradients,
+    :802-852 AdaGrad + box projection; round/merge shape
+    Learning.scala:296-361): full-batch AdaGrad ascent on the seeded
+    synthetic gold corpus, one deterministic Spark job per round.
+    Returns the per-round training history (loss, f, g, h) — bit-stable
+    at any parallelism thanks to the fixed-point gradient merge, hence
+    golden-oracle checkable."""
+    from pboh_spark import learning, resolve, stats, synth
+    from pboh_spark.normalize import extract_mentions
+
+    uni = synth.EntityUniverse()
+    transcripts, gold = synth.generate_transcripts(spark, 40, universe=uni)
+    anchors = synth.generate_anchors(spark, 800, universe=uni)
+    mentions = extract_mentions(transcripts)
+    ns = stats.name_stats(anchors)
+    es = stats.entity_stats(anchors)
+    scalars = stats.corpus_scalars(anchors)
+    lam = stats.with_lambda_potential(stats.cooccurrence(anchors), es, scalars)
+    cand = resolve.mention_candidates(mentions, ns, es, top_k=10)
+    cand_gold = learning.learning_candidates(cand, mentions, gold)
+    conv_lam = resolve.conv_lambda_pairs(
+        cand, lam, value_cols=("log_smoothed", "lp_sum")
+    )
+    n = float(max(scalars["num_total_pairs"], 1))
+    d = float(max(scalars["num_distinct_pairs"], 1))
+    backoff = max(n - 0.5 * d, 1e-9) / n
+    lam_const = float(np.log(backoff) - np.log(n))
+    _, hist = learning.learn_weights(
+        cand_gold, conv_lam, n_rounds=12, eta=1.0, reg=0.01,
+        lam_const=lam_const,
+    )
+    return spark.createDataFrame(
+        [
+            (
+                h["round"], h["n_convs"], round(h["loss"], 6),
+                round(h["f"], 6), round(h["g"], 6), round(h["h"], 6),
+            )
+            for h in hist
+        ],
+        "round int, n_convs int, loss double, f double, g double, h double",
+    )
+
+
 def pboh_threshold_grid(spark, sf_dir):
     """L5 hyperparameter grid search (FewParamsLearning.scala:146-207) as
     ONE distributed pass: every labeled pair explodes over the threshold
@@ -1059,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_embedding_pairs": dedup_embedding_pairs,
+        "dedup_embedding_lsh_pairs": dedup_embedding_lsh_pairs,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "text_token_count": text_token_count,
@@ -1073,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pboh_e2e_clusters": pboh_e2e_clusters,
         "pboh_surface_clusters": pboh_surface_clusters,
         "pboh_threshold_grid": pboh_threshold_grid,
+        "pboh_learn_weights": pboh_learn_weights,
         "multimodal_features": multimodal_features,
     }
 
@@ -1874,7 +1946,7 @@ def oracle_sql() -> dict[str, str]:
         return f"{dot} / ({na} * {nb})"
 
     ann_ivf = f"""
-        WITH cents AS (
+        WITH cents0 AS (
             SELECT vec_id AS cid, embedding AS cvec FROM embeddings
             WHERE substr(md5(vec_id::VARCHAR || '42'), 1, 1) = '0'
             ORDER BY md5(vec_id::VARCHAR || '42') LIMIT 16
@@ -1882,6 +1954,34 @@ def oracle_sql() -> dict[str, str]:
         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
         q AS (SELECT vec_id AS query_id, embedding AS qv
               FROM embeddings WHERE vec_id < 20),
+        assigned0 AS (
+            SELECT neighbor_id, cv, cid, {_cos('cv', 'cvec')} AS acos
+            FROM c CROSS JOIN cents0
+        ),
+        member AS (
+            SELECT cid, cv FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY neighbor_id
+                    ORDER BY acos DESC, cid ASC) AS r
+                FROM assigned0
+            ) WHERE r = 1
+        ),
+        means AS (
+            SELECT cid, i,
+                   sum(round(cv[i]::DOUBLE * 10000000.0)::BIGINT)
+                   / (count(*) * 10000000.0) AS m
+            FROM member, UNNEST(range(1, 65)) AS t(i)
+            GROUP BY cid, i
+        ),
+        refined AS (
+            SELECT cid, list(m ORDER BY i) AS rvec FROM means GROUP BY cid
+        ),
+        cents AS (
+            SELECT s.cid,
+                   coalesce(r.rvec,
+                            list_transform(s.cvec, x -> x::DOUBLE)) AS cvec
+            FROM cents0 s LEFT JOIN refined r USING (cid)
+        ),
         assigned AS (
             SELECT neighbor_id, cv, cid, {_cos('cv', 'cvec')} AS ccos
             FROM c CROSS JOIN cents
@@ -1926,6 +2026,58 @@ def oracle_sql() -> dict[str, str]:
                round({_cos('a.embedding', 'b.embedding')}, 4) AS cosine
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE {_cos('a.embedding', 'b.embedding')} >= 0.42
+    """
+    # embedding-LSH dedup: planted near-dups + the DEFAULT sign-LSH path
+    # (n_tables=6, n_bits=8 — ops/dedup.embedding_neardup_pairs), planes
+    # from the same seeded rng embedded as literals.
+    _dplanes = np.random.default_rng(42).normal(size=(6, 8, 64))
+    _dplane_rows = ", ".join(
+        f"({t}, {b}, {i + 1}, {_dplanes[t, b, i]!r})"
+        for t in range(6)
+        for b in range(8)
+        for i in range(64)
+    )
+    d_embed_lsh = f"""
+        WITH base AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ),
+        dups AS (
+            SELECT vec_id + 100000 AS vec_id, list(val ORDER BY i) AS v
+            FROM (
+                SELECT vec_id, i,
+                       v[i] + 0.05 * v[(i % 64) + 1] AS val
+                FROM base, UNNEST(range(1, 65)) AS t(i)
+                WHERE vec_id < 25
+            )
+            GROUP BY vec_id
+        ),
+        allv AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+        dplanes(t, bit, i, val) AS (VALUES {_dplane_rows}),
+        dots AS (
+            SELECT a.vec_id, p.t, p.bit, sum(a.v[p.i] * p.val) AS dot
+            FROM allv a CROSS JOIN dplanes p
+            GROUP BY a.vec_id, p.t, p.bit
+        ),
+        sigs AS (
+            SELECT vec_id, t,
+                   sum(CASE WHEN dot > 0 THEN (1::BIGINT << bit)
+                            ELSE 0 END)::BIGINT AS sig
+            FROM dots GROUP BY vec_id, t
+        ),
+        cand AS (
+            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM sigs x JOIN sigs y
+              ON x.t = y.t AND x.sig = y.sig AND x.vec_id < y.vec_id
+        ),
+        scored AS (
+            SELECT id_a, id_b, {_cos('a.v', 'b.v')} AS cosine
+            FROM cand
+            JOIN allv a ON a.vec_id = cand.id_a
+            JOIN allv b ON b.vec_id = cand.id_b
+        )
+        SELECT id_a, id_b, round(cosine, 4) AS cosine
+        FROM scored WHERE cosine >= 0.9
     """
     # sign-LSH: the seeded gaussian hyperplanes are plan constants in
     # Spark (ops/simsearch.hyperplane_signatures, default_rng(42)); embed
@@ -2025,6 +2177,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_pairs": d_lsh,
         "dedup_jaccard_pairs": d_jac,
         "dedup_embedding_pairs": d_embed,
+        "dedup_embedding_lsh_pairs": d_embed_lsh,
         "dedup_simhash": d_simhash,
         "dedup_simhash_pairs": d_simhash_pairs,
         "text_token_count": tok,

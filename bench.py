@@ -58,16 +58,26 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
-def run_headline(spark, sf_dir: str) -> dict[str, float]:
+def run_headline(
+    spark, sf_dir: str, trials: int = 3
+) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Best-of-``trials`` per query (min is the reproducible number on a
+    shared box; the per-query spread is emitted so round-over-round
+    deltas can be read against the noise floor instead of guessed)."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     times: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        _force(qs[name](spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
-    return times
+        runs = []
+        for _ in range(trials):
+            t0 = time.time()
+            _force(qs[name](spark, sf_dir))
+            runs.append(round(time.time() - t0, 3))
+        times[name] = min(runs)
+        spreads[name] = runs
+    return times, spreads
 
 
 def linkage_pairs_throughput(
@@ -279,7 +289,7 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000).groupBy(
         "l_returnflag"
     ).count().collect()
-    times = run_headline(spark, SF_DIR)
+    times, spreads = run_headline(spark, SF_DIR)
     # recall@10 of the approximate ANN paths vs exact brute force — the
     # coverage diagnostic the reference prints for its candidate index
     # (VerifyEDAbstract.scala:104-108); asserted ≥ floor in tests/test_ops
@@ -295,9 +305,31 @@ def main() -> None:
         for name in ("ann_lsh_topk", "ann_ivf_topk")
     }
     bf.unpersist()
-    # linkage throughput: best of 2 (the join-heavy job shows ±30%
+    # the same diagnostic on planted-CLUSTER embeddings — the realistic
+    # regime for an IVF index (uniform vectors are its worst case); the
+    # Lloyd-refined defaults must clear 0.7 here (asserted in test_ops)
+    from pyspark.sql import functions as F
+
+    from pboh_spark import synth
+    from pboh_spark.ops.simsearch import cosine_topk_bruteforce, ivf_topk, lsh_topk
+
+    cemb = synth.generate_clustered_embeddings(spark, 2000, n_clusters=20).cache()
+    cq = cemb.where(F.col("vec_id") < 20)
+    cbf = cosine_topk_bruteforce(cemb, cq, k=10).cache()
+    cbf.count()
+    ann_recall_clustered = {
+        "ann_ivf_topk": round(
+            recall_at_k(ivf_topk(cemb, cq, k=10, n_cells=16, n_probe=4), cbf), 3
+        ),
+        "ann_lsh_topk": round(
+            recall_at_k(lsh_topk(cemb, cq, dim=64, k=10), cbf), 3
+        ),
+    }
+    cemb.unpersist()
+    cbf.unpersist()
+    # linkage throughput: best of 3 (the join-heavy job shows ±30%
     # run-to-run variance on this box; the min is the reproducible number)
-    runs = [linkage_pairs_throughput(spark, n_conv) for _ in range(2)]
+    runs = [linkage_pairs_throughput(spark, n_conv) for _ in range(3)]
     n_pairs, secs = min(runs, key=lambda r: r[1])
     times["linkage_pairs"] = round(secs, 3)
     # the 10^12-turn path: identical stages over distinct surfaces —
@@ -306,18 +338,22 @@ def main() -> None:
         spark, n_conv, surface_mode=True
     )
     times["linkage_surface"] = round(surf_secs, 3)
+    spreads["linkage_pairs"] = sorted(round(s, 3) for _, s in runs)
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "query_trials": spreads,
+        "trials_per_query": 3,
         "sf": sf,
         "pairs_scored": n_pairs,
         "pairs_per_sec": round(n_pairs / secs, 1),
         "surface_pairs_scored": surf_pairs,
         "surface_pair_reduction": round(n_pairs / max(surf_pairs, 1), 1),
         "ann_recall_at_10": ann_recall,
+        "ann_recall_clustered": ann_recall_clustered,
     }
     print(json.dumps(out))
     spark.stop()

@@ -1,0 +1,298 @@
+"""Distributed few-params weight learning (L2/L3) — pseudolikelihood
+gradients for the scorer weights {f, g, h}, fit with AdaGrad + box
+projection.
+
+Reference parity (file:line in /root/reference/src/main/scala/):
+* pseudolikelihood log-factor + analytic partials
+  learning/FewParamsLearning.scala:289-340 (logFactorAndItsDerivatives):
+      log_factor(x,y) = f·rho(x,y) + Σ_{x_j≠x} g·2/(l−1)·λ(y, y_j)
+  with the same-surface neighbor guard (``xj != x``, :311), the
+  log_factor > 10 discard clamp (:330-338), and the l ∈ (1, 25] doc
+  guard (:364).
+* loss = Σ_x (1/l)·[log_factor(x,y_gold) − log Z_x],
+  Z_x = Σ_{y'∈cands(x)} e^{log_factor(x,y')} — :387-500 (the max-shift
+  underflow trick :448-460 is numpy logsumexp here).
+* AdaGrad accumulation eta/√(1+Σg²) + update — :819-846.
+* box projection g,f ∈ [0.001, 15] — loopybeliefpropagation/
+  ScorerWeights.scala:120-132 (h is not projected, matching :120-150).
+* distributed round merge — learning/Learning.scala:296-361: per-worker
+  partial results reduced, then one driver-side update per round.
+
+Spark recast: the reference runs per-worker *stochastic* SGD and merges
+weight deltas; here each round is ONE deterministic full-batch job —
+per-conversation losses/gradients from the same cogrouped
+``applyInPandas`` shape as the LBP kernel (all tensors already exist in
+resolve.py), merged by a fixed-point aggregate, AdaGrad'd driver-side.
+Same merge topology, but reproducible: results are bit-identical at any
+partitioning because per-conversation float results are quantized to
+integer 1e-9 units before the (order-independent) long sum — float
+addition order across partitions can never leak into the fitted weights,
+which is what makes the golden-oracle contract query possible.
+
+λ(h) is affine in h for BOTH stored and backoff pairs:
+    stored:  λ = log_smoothed − h·(log p̂(e1) + log p̂(e2))   (ScorerFull
+             .scala:207-227 with the h-term factored out)
+    backoff: λ = lam_const + (1−h)·(log p̂(e1) + log p̂(e2))
+so the kernel carries (c0, c1) with λ = c0 − h·c1 and ∂λ/∂h = −c1 —
+the reference needs finite differences for s/b (:426-431) but {f, g, h}
+are exact analytic partials, checked by finite differences in
+tests/test_learning.py.
+
+Deviation (documented): the regularizer pulls toward the *shipped
+validated constants* (f=1, g=0.5, h=0.15 — EL_LBP_Spark.scala:111-117),
+not the reference's Wikipedia-scale prior means (f=10, g=10 —
+FewParamsLearning.scala:390-391); on a transcript corpus the validated
+constants are the sensible prior. Mentions whose gold entity lacks a
+candidate row still act as neighbors (their gold id and, when unknown,
+log-pop 0 feed the backoff λ) but contribute no loss term — exactly the
+reference's ``y_space.contains(y)`` skip (:389).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pboh_spark.resolve import LAMBDA_FLOOR, _pack
+from pboh_spark.stats import ScorerWeights
+
+GRAD_SCHEMA = (
+    "conv_id string, loss double, g_f double, g_g double, g_h double, "
+    "n_mentions int"
+)
+CLAMP = 10.0  # FewParamsLearning.scala:330 log_factor discard threshold
+MAX_DOC = 25  # FewParamsLearning.scala:364
+_FIXED = 1e9  # fixed-point quantum for the order-independent merge
+
+
+def _pl_conv(
+    ents: np.ndarray,        # (L, K) candidate ids, -1 pad
+    rho: np.ndarray,         # (L, K) unary, NEG pad
+    logpop: np.ndarray,      # (L, K) log unnormalized popularity
+    surfaces: np.ndarray,    # (L,) mention strings
+    gold_ent: np.ndarray,    # (L,) gold entity ids
+    gold_idx: np.ndarray,    # (L,) index of gold in candidate row, -1 absent
+    c0_map: dict[int, float],  # packed pair -> log_smoothed
+    c1_map: dict[int, float],  # packed pair -> lp_sum
+    w: ScorerWeights,
+    lam_const: float = LAMBDA_FLOOR,
+) -> tuple[float, np.ndarray, int]:
+    """One conversation's pseudolikelihood loss and d/d(f,g,h).
+    Pure numpy — unit-testable against central finite differences."""
+    L, K = ents.shape
+    valid = ents >= 0
+    if L < 2 or L > MAX_DOC:
+        return 0.0, np.zeros(3), 0
+    # gold log-pop per neighbor (0.0 when gold is outside the candidate set)
+    gold_lp = np.where(
+        gold_idx >= 0, logpop[np.arange(L), np.maximum(gold_idx, 0)], 0.0
+    )
+    # λ affine coefficients between candidate (i,a) and gold of j
+    keys = _pack(
+        np.broadcast_to(ents[:, :, None], (L, K, L)),
+        np.broadcast_to(gold_ent[None, None, :], (L, K, L)),
+    ).ravel()
+    ks = pd.Series(keys)
+    c0 = ks.map(c0_map).to_numpy(np.float64).reshape(L, K, L)
+    c1 = ks.map(c1_map).to_numpy(np.float64).reshape(L, K, L)
+    lp_sum_default = logpop[:, :, None] + gold_lp[None, None, :]
+    c0 = np.where(np.isnan(c0), lam_const + lp_sum_default, c0)
+    c1 = np.where(np.isnan(c1), lp_sum_default, c1)
+    # neighbor mask: xj != x (string guard, :311) — drops i==j too
+    mask = (surfaces[:, None] != surfaces[None, :]).astype(np.float64)
+    pair0 = np.einsum("ikj,ij->ik", c0, mask)  # Σ_j c0[i,a,j]
+    pair1 = np.einsum("ikj,ij->ik", c1, mask)
+    pw = 2.0 / (L - 1)
+    lam_sum = pair0 - w.h * pair1          # Σ_j λ(h)
+    phi = w.f * rho + w.g * pw * lam_sum   # log_factor per candidate
+    d_f = rho.copy()
+    d_g = pw * lam_sum
+    d_h = -w.g * pw * pair1
+    # discard clamp (:330-338): factor and partials zeroed past +10
+    big = phi > CLAMP
+    for arr in (phi, d_f, d_g, d_h):
+        arr[big] = 0.0
+    phi = np.where(valid, phi, -np.inf)
+    contrib = gold_idx >= 0
+    n = int(contrib.sum())
+    if n == 0:
+        return 0.0, np.zeros(3), 0
+    idx = np.where(contrib)[0]
+    gidx = gold_idx[idx]
+    mx = phi[idx].max(axis=1, keepdims=True)
+    zexp = np.where(valid[idx], np.exp(phi[idx] - mx), 0.0)
+    z = zexp.sum(axis=1, keepdims=True)
+    lse = (np.log(z) + mx)[:, 0]
+    p = zexp / z
+    loss = float(((phi[idx, gidx] - lse) / L).sum())
+    grads = np.zeros(3)
+    for gi, d in enumerate((d_f, d_g, d_h)):
+        dm = np.where(valid[idx], d[idx], 0.0)
+        grads[gi] = float(
+            ((d[idx, gidx] - (p * dm).sum(axis=1)) / L).sum()
+        )
+    return loss, grads, n
+
+
+def _grad_kernel(w: ScorerWeights, lam_const: float):
+    def solve(cand: pd.DataFrame, lam: pd.DataFrame) -> pd.DataFrame:
+        cols = ["conv_id", "loss", "g_f", "g_g", "g_h", "n_mentions"]
+        if cand.empty:
+            return pd.DataFrame(columns=cols)
+        conv = cand["conv_id"].iloc[0]
+        c0_map, c1_map = {}, {}
+        if len(lam):
+            pk = _pack(
+                lam["e1"].to_numpy(np.int64), lam["e2"].to_numpy(np.int64)
+            )
+            c0_map = dict(zip(pk, lam["log_smoothed"].to_numpy(np.float64)))
+            c1_map = dict(zip(pk, lam["lp_sum"].to_numpy(np.float64)))
+        cand = cand.sort_values(["mention_id", "entity"])
+        mids = cand["mention_id"].unique()
+        L = len(mids)
+        K = int(cand.groupby("mention_id")["entity"].size().max())
+        ents = np.full((L, K), -1, dtype=np.int64)
+        rho = np.full((L, K), -1.0e30, dtype=np.float64)
+        logpop = np.zeros((L, K), dtype=np.float64)
+        surfaces = np.empty(L, dtype=object)
+        gold_ent = np.zeros(L, dtype=np.int64)
+        gold_idx = np.full(L, -1, dtype=np.int64)
+        for i, (_, grp) in enumerate(cand.groupby("mention_id", sort=True)):
+            k = len(grp)
+            e = grp["entity"].to_numpy()
+            ents[i, :k] = e
+            rho[i, :k] = grp["rho"].to_numpy()
+            logpop[i, :k] = grp["log_pop"].fillna(0.0).to_numpy(np.float64)
+            surfaces[i] = grp["ngram"].iloc[0]
+            ge = int(grp["gold_entity"].iloc[0])
+            gold_ent[i] = ge
+            hit = np.nonzero(e[:k] == ge)[0]
+            if len(hit):
+                gold_idx[i] = int(hit[0])
+        loss, g, n = _pl_conv(
+            ents, rho, logpop, surfaces, gold_ent, gold_idx,
+            c0_map, c1_map, w, lam_const,
+        )
+        return pd.DataFrame(
+            {"conv_id": [conv], "loss": [loss], "g_f": [g[0]],
+             "g_g": [g[1]], "g_h": [g[2]], "n_mentions": [n]}
+        )
+
+    return solve
+
+
+def learning_candidates(
+    candidates: DataFrame, mentions: DataFrame, gold: DataFrame
+) -> DataFrame:
+    """Joins gold labels + surfaces onto the candidate table:
+    (conv_id, mention_id, entity, rho, log_pop, ngram, gold_entity).
+    Mentions without a gold annotation are dropped (they cannot supply a
+    pseudolikelihood term or a gold-conditioned neighbor)."""
+    gm = (
+        gold.select(
+            "conv_id", "turn_idx",
+            F.lower(F.col("surface")).alias("ngram"),
+            F.col("entity").alias("gold_entity"),
+        )
+        .groupBy("conv_id", "turn_idx", "ngram")
+        .agg(F.min("gold_entity").alias("gold_entity"))
+    )
+    mg = mentions.join(gm, ["conv_id", "turn_idx", "ngram"], "inner").select(
+        "mention_id", "ngram", "gold_entity"
+    )
+    return candidates.join(mg, "mention_id", "inner").select(
+        "conv_id", "mention_id", "entity", "rho", "log_pop",
+        "ngram", "gold_entity",
+    )
+
+
+def pseudolikelihood_grads(
+    cand_gold: DataFrame,
+    conv_lambdas: DataFrame,
+    weights: ScorerWeights,
+    lam_const: float = LAMBDA_FLOOR,
+) -> DataFrame:
+    """Per-conversation (loss, ∂f, ∂g, ∂h) — one cogrouped Arrow exchange
+    on conv_id, the same distribution shape as resolve.resolve_entities.
+    ``conv_lambdas`` must carry (conv_id, e1, e2, log_smoothed, lp_sum)
+    (resolve.conv_lambda_pairs(..., value_cols=("log_smoothed","lp_sum")))."""
+    lam = conv_lambdas.localCheckpoint(eager=False)
+    return (
+        cand_gold.groupBy("conv_id")
+        .cogroup(lam.groupBy("conv_id"))
+        .applyInPandas(_grad_kernel(weights, lam_const), GRAD_SCHEMA)
+    )
+
+
+def _merge_round(grads: DataFrame) -> tuple[float, np.ndarray, int]:
+    """Order-independent merge: per-conv doubles quantized to 1e-9 units,
+    summed as longs (exact integer addition commutes — the result is
+    bit-identical at any partitioning), then un-scaled to per-conv means.
+    ≙ Learning.scala:296-361's reduce-then-finalMerge, made deterministic."""
+    q = lambda c: F.sum(F.round(F.col(c) * _FIXED).cast("long")).alias(c)  # noqa: E731
+    row = grads.agg(
+        q("loss"), q("g_f"), q("g_g"), q("g_h"),
+        F.sum(F.when(F.col("n_mentions") > 0, 1).otherwise(0)).alias("n_convs"),
+    ).collect()[0]
+    n = int(row["n_convs"] or 0)
+    if n == 0:
+        return 0.0, np.zeros(3), 0
+    loss = row["loss"] / _FIXED / n
+    g = np.array([row["g_f"], row["g_g"], row["g_h"]]) / _FIXED / n
+    return float(loss), g, n
+
+
+def learn_weights(
+    cand_gold: DataFrame,
+    conv_lambdas: DataFrame,
+    init: ScorerWeights | None = None,
+    n_rounds: int = 20,
+    eta: float = 1.0,
+    reg: float = 0.01,
+    lam_const: float = LAMBDA_FLOOR,
+    priors: tuple[float, float, float] | None = None,
+) -> tuple[ScorerWeights, list[dict]]:
+    """Full-batch AdaGrad ascent on the regularized pseudolikelihood.
+    One Spark job per round (the distributed-SGD round/merge shape,
+    Learning.scala:296-361); the AdaGrad state and box projection live on
+    the driver (FewParamsLearning.scala:819-849, ScorerWeights.scala:
+    120-132: f,g clamped to [0.001, 15], h unprojected).
+
+    Returns (fitted weights, history) where history[r] =
+    {round, loss, f, g, h} recorded AFTER round r's update; history[0]
+    is the init evaluation (no update). Deterministic at any parallelism
+    (see _merge_round)."""
+    w = init or ScorerWeights()
+    pr = np.array(priors if priors is not None else (w.f, w.g, w.h))
+    cand_gold = cand_gold.persist()
+    conv_lambdas = conv_lambdas.persist()
+    sq = np.zeros(3)
+    history: list[dict] = []
+    try:
+        for r in range(n_rounds + 1):
+            loss, g, n = _merge_round(
+                pseudolikelihood_grads(cand_gold, conv_lambdas, w, lam_const)
+            )
+            theta = np.array([w.f, w.g, w.h])
+            loss -= reg / 2.0 * float(((theta - pr) ** 2).sum())
+            history.append(
+                {"round": r, "loss": loss, "f": w.f, "g": w.g, "h": w.h,
+                 "n_convs": n}
+            )
+            if r == n_rounds:
+                break
+            g = g - reg * (theta - pr)
+            sq += g * g
+            theta = theta + eta / np.sqrt(1.0 + sq) * g  # ascent, :841-846
+            f, gg, h = theta
+            f = min(max(f, 0.001), 15.0)   # ScorerWeights.scala:127-132
+            gg = min(max(gg, 0.001), 15.0)  # :121-126
+            w = replace(w, f=float(f), g=float(gg), h=float(h))
+    finally:
+        cand_gold.unpersist()
+        conv_lambdas.unpersist()
+    return w, history

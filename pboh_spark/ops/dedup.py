@@ -248,7 +248,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    use_lsh: bool = False,
+    use_lsh: bool = True,
     n_bits: int = 8,
     n_tables: int = 6,
     seed: int = 42,
@@ -257,15 +257,16 @@ def embedding_neardup_pairs(
     (id_a, id_b, cosine) with cosine ≥ ``threshold`` and id_a < id_b.
 
     Two candidate-generation modes:
-    * exact (default) — all-pairs self join. Quadratic; the verification
-      path and the right plan when one side is bounded (e.g. dedup of a
-      single partition / day's delta against itself).
-    * ``use_lsh=True`` — sign-LSH bucket self-join
-      (simsearch.hyperplane_signatures): candidates only share a
-      (table, signature) bucket, so the pair space is Σ bucket² — the
-      100-TB path. Recall depends on the angular threshold: true
+    * ``use_lsh=True`` (default — the 100-TB path) — sign-LSH bucket
+      self-join (simsearch.hyperplane_signatures): candidates only share
+      a (table, signature) bucket, so the pair space is Σ bucket²
+      instead of n². Recall depends on the angular threshold: true
       near-dups (cosine ≳ 0.9, angle ≲ 26°) collide with probability
       (1 − θ/π)^n_bits per table; raise n_tables for higher recall.
+    * ``use_lsh=False`` — all-pairs self join. Quadratic: strictly the
+      exact VERIFICATION baseline (recall ground truth for the LSH
+      mode), or the right plan only when one side is provably bounded
+      (e.g. one day's delta against itself).
     """
     from pboh_spark.ops.simsearch import hyperplane_signatures, with_cosine
 

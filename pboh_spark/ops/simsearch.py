@@ -173,6 +173,47 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
     return (hits.count() / total) if total else 1.0
 
 
+def _lloyd_refine(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """One deterministic Lloyd iteration: assign every corpus vector to
+    its nearest centroid, then recentre each cell at the member mean.
+
+    The mean is computed in FIXED POINT — per-coordinate values quantized
+    to 1e-7 units, summed as longs (order-independent integer addition),
+    then unscaled — so the refined centroids are bit-identical at any
+    partitioning AND reproducible in the DuckDB oracle (a float avg would
+    drift in the last ulps with aggregation order and could flip a
+    nearest-centroid tie cross-engine). Cells that captured no members
+    keep their seed centroid. Cost: one posexplode shuffle over
+    |corpus|·dim value rows — the standard k-means iteration shape."""
+    assigned = with_cosine(
+        base.crossJoin(F.broadcast(cents)), "cvec0", "cvec", "acos"
+    )
+    w = Window.partitionBy("cid0").orderBy(F.desc("acos"), F.asc("cid"))
+    member = (
+        assigned.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("cid", F.col("cvec0").alias("v"))
+    )
+    ex = member.select("cid", F.posexplode("v").alias("pos", "val"))
+    means = ex.groupBy("cid", "pos").agg(
+        (
+            F.sum(F.round(F.col("val") * 1e7).cast("long"))
+            / (F.count("*") * F.lit(1e7))
+        ).alias("m")
+    )
+    refined = means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("cvec")
+    )
+    return (
+        cents.select("cid", F.col("cvec").alias("cvec_seed"))
+        .join(refined, "cid", "left")
+        .select("cid", F.coalesce("cvec", "cvec_seed").alias("cvec"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -183,17 +224,23 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     prefix_len: int = 1,
+    refine_iters: int = 1,
 ) -> DataFrame:
     """IVF: centroids = deterministic corpus sample (md5 prefix filter →
-    sort only the filtered pool); assignment + probing are broadcast
-    joins; re-rank exact.
+    sort only the filtered pool) + ``refine_iters`` Lloyd refinements;
+    assignment + probing are broadcast joins; re-rank exact.
 
     The centroid pick first hash-FILTERS the corpus to rows whose
     md5(id||seed) starts with ``prefix_len`` zero hex chars (16^-p of the
     corpus — a scan-side predicate, no shuffle), then sorts only that
     small pool. A global orderBy(md5).limit would be a full corpus sort
     to pick n_cells rows; at 100 TB raise ``prefix_len`` so the pool
-    stays ~64·n_cells. Deterministic, hence oracle-checkable."""
+    stays ~64·n_cells. Seeded samples of clustered data land multiple
+    centroids in dense clusters and none in sparse ones — the Lloyd
+    pass(es) spread them to the actual density (recall@10 on planted
+    clusters: 0.48 unrefined → ≥0.7 refined, asserted in tests), while
+    staying deterministic (fixed-point means, see _lloyd_refine), hence
+    oracle-checkable."""
     hashed = F.md5(F.concat(F.col("cid").cast("string"), F.lit(str(seed))))
     base = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     cents = (
@@ -208,6 +255,15 @@ def ivf_topk(
     # count (limit n_cells) decides; at real scale the pool always wins.
     if cents.count() < n_cells:
         cents = base.orderBy(hashed).limit(n_cells)
+    if refine_iters:
+        lloyd_base = corpus.select(
+            F.col(id_col).alias("cid0"), F.col(vec_col).alias("cvec0")
+        )
+        for _ in range(refine_iters):
+            cents = _lloyd_refine(lloyd_base, cents)
+        # n_cells rows consumed by three downstream joins — materialize
+        # once instead of recomputing the refinement lineage per consumer
+        cents = cents.localCheckpoint()
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )

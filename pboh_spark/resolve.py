@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pboh_spark.stats import ScorerWeights
@@ -222,14 +222,18 @@ def _kernel(weights: ScorerWeights, max_product: bool, lam_const: float):
 
 
 def conv_lambda_pairs(
-    candidates: DataFrame, lambda_table: DataFrame
+    candidates: DataFrame,
+    lambda_table: DataFrame,
+    value_cols: tuple[str, ...] = ("lambda_potential",),
 ) -> DataFrame:
     """Conversation-local candidate-entity pair potentials:
-    (conv_id, e1, e2, lambda_potential). Distinct conv entities self-join
+    (conv_id, e1, e2, *value_cols). Distinct conv entities self-join
     on conv_id (anti-diagonal) then probe the global lambda table — the
     distributed CocitationMap build (CocitationMap.scala:24-47), one
     shuffle instead of per-doc hash probes. Missing pairs take the −1000
-    floor inside the kernel.
+    floor inside the kernel. Weight learning passes
+    ``value_cols=("log_smoothed", "lp_sum")`` to carry the h-affine λ
+    coefficients instead of the evaluated potential.
     """
     ce = candidates.select("conv_id", "entity").distinct()
     a = ce.alias("a")
@@ -244,8 +248,76 @@ def conv_lambda_pairs(
         )
     )
     return pairs.join(
-        lambda_table.select("e1", "e2", "lambda_potential"), ["e1", "e2"], "inner"
-    ).select("conv_id", "e1", "e2", "lambda_potential")
+        lambda_table.select("e1", "e2", *value_cols), ["e1", "e2"], "inner"
+    ).select("conv_id", "e1", "e2", *value_cols)
+
+
+def augment_containment(
+    candidates: DataFrame,
+    mentions: DataFrame,
+    name_stats: DataFrame,
+    top_k: int = 10,
+) -> DataFrame:
+    """Containment candidate augmentation —
+    index/MentEntsFreqIndexWrapper.scala:30-40: when another mention of
+    the SAME document strictly contains this mention's normalized string
+    (``other.contains(m)``), the container's candidate entities are
+    merged into the contained mention's set with frequency 1
+    (``addEntity(c, 1)`` ⇒ prior ≈ 1/(total_freq(m)+1)), then the
+    per-mention top-k prune runs over the merged set (:53).
+
+    Spark recast: a conv-local self-join of the mention table (docs are
+    ≤25 mentions, so per-conv fan-out is bounded — the join is equi on
+    conv_id, never a cross), container candidates attach by mention id,
+    a left-anti drops entities the mention already had, and one window
+    re-prunes to top-k by (rho desc, entity asc). Mentions that are OOV
+    themselves get no augmentation (the reference returns null before
+    merging, :23-26) — enforced by the inner join on name_stats totals.
+    """
+    m = mentions.select("conv_id", "mention_id", "ngram")
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(b, "conv_id")
+        .where(
+            (F.col("a.ngram") != F.col("b.ngram"))
+            & (F.instr(F.col("b.ngram"), F.col("a.ngram")) > 0)
+        )
+        .select(
+            F.col("a.conv_id").alias("conv_id"),
+            F.col("a.mention_id").alias("mention_id"),
+            F.col("a.ngram").alias("ngram"),
+            F.col("b.mention_id").alias("container_id"),
+        )
+    )
+    cc = candidates.select(
+        F.col("mention_id").alias("container_id"), "entity", "log_pop"
+    )
+    aug = (
+        pairs.join(cc, "container_id")
+        .select("conv_id", "mention_id", "ngram", "entity", "log_pop")
+        .distinct()
+        .join(candidates.select("mention_id", "entity"),
+              ["mention_id", "entity"], "left_anti")
+    )
+    totals = name_stats.select(
+        F.col("name").alias("ngram"), "total_freq"
+    ).distinct()
+    aug = (
+        aug.join(totals, "ngram", "inner")
+        .withColumn("rho", -F.log(F.col("total_freq") + 1))
+        .select("conv_id", "mention_id", "entity", "rho", "log_pop")
+    )
+    merged = candidates.select(
+        "conv_id", "mention_id", "entity", "rho", "log_pop"
+    ).unionByName(aug)
+    w = Window.partitionBy("mention_id").orderBy(
+        F.desc("rho"), F.asc("entity")
+    )
+    return (
+        merged.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .drop("rk")
+    )
 
 
 def mention_candidates(
@@ -253,11 +325,15 @@ def mention_candidates(
     name_stats: DataFrame,
     entity_stats: DataFrame | None = None,
     top_k: int = 10,
+    containment: bool = True,
 ) -> DataFrame:
     """(conv_id, mention_id, entity, rho, log_pop) with rho = log p̂(e|m) —
     the prior-only unary potential (ScorerFull.scala:15-104 without the
     context-word term; see context.rho_with_context for the full C1).
-    ``log_pop`` feeds the kernel's independence-backoff default lambda."""
+    ``log_pop`` feeds the kernel's independence-backoff default lambda.
+    ``containment`` (default on, matching the reference's wrapper) merges
+    conv-local containing mentions' candidates before the top-k prune —
+    see augment_containment."""
     cands = name_stats.where(F.col("rank") <= top_k).select(
         F.col("name"), F.col("entity"), F.log(F.col("prob")).alias("rho")
     )
@@ -272,7 +348,10 @@ def mention_candidates(
         )
     else:
         out = out.withColumn("log_pop", F.lit(0.0))
-    return out.select("conv_id", "mention_id", "entity", "rho", "log_pop")
+    out = out.select("conv_id", "mention_id", "entity", "rho", "log_pop")
+    if containment:
+        out = augment_containment(out, mentions, name_stats, top_k)
+    return out
 
 
 def resolve_entities(

@@ -209,9 +209,25 @@ def with_lambda_potential(
         * F.coalesce(F.col("pop2"), F.lit(1.0))
         / F.lit(n_pairs)
     )
-    return out.withColumn(
-        "lambda_potential",
-        F.when(smoothed > 0, F.log(smoothed)).otherwise(F.lit(-1000.0))
-        - F.lit(w.h) * F.coalesce(F.col("log_pop1"), F.lit(0.0))
-        - F.lit(w.h) * F.coalesce(F.col("log_pop2"), F.lit(0.0)),
-    ).select("e1", "e2", "cocit", "lambda_potential")
+    # λ is affine in the h weight: λ(h) = log_smoothed − h·lp_sum. The two
+    # coefficients are emitted alongside the evaluated potential so weight
+    # learning (learning.py) can differentiate ∂λ/∂h = −lp_sum without
+    # rebuilding the table per candidate h.
+    return (
+        out.withColumn(
+            "log_smoothed",
+            F.when(smoothed > 0, F.log(smoothed)).otherwise(F.lit(-1000.0)),
+        )
+        .withColumn(
+            "lp_sum",
+            F.coalesce(F.col("log_pop1"), F.lit(0.0))
+            + F.coalesce(F.col("log_pop2"), F.lit(0.0)),
+        )
+        .withColumn(
+            "lambda_potential",
+            F.col("log_smoothed") - F.lit(w.h) * F.col("lp_sum"),
+        )
+        .select(
+            "e1", "e2", "cocit", "lambda_potential", "log_smoothed", "lp_sum"
+        )
+    )

@@ -271,6 +271,41 @@ def generate_transcripts(
     return transcripts, gold
 
 
+def generate_clustered_embeddings(
+    spark: SparkSession,
+    n_vectors: int = 2000,
+    n_clusters: int = 20,
+    dim: int = 64,
+    noise: float = 0.25,
+    seed: int = SEED,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(vec_id bigint, embedding array<float>) with planted cluster
+    structure: vector i = center[i % n_clusters] + noise·N(0,I). Real
+    embedding corpora are clustered (that is why IVF works at all);
+    the driver's uniform-random testdata embeddings are the worst case
+    for any cell-probing index, so recall targets are asserted here.
+    Deterministic per vec_id (rng([seed, 7, vec_id])) ⇒ identical at any
+    partitioning or prefix scale, like every other synth table."""
+    rng = np.random.default_rng([seed, 6])
+    centers = rng.normal(size=(n_clusters, dim))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = []
+            for vid in ids:
+                r = np.random.default_rng([seed, 7, int(vid)])
+                v = centers[int(vid) % n_clusters] + noise * r.normal(size=dim)
+                out.append(v.astype(np.float32).tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": out})
+
+    parts = partitions or 8
+    return spark.range(0, n_vectors, 1, parts).mapInPandas(
+        gen, "vec_id bigint, embedding array<float>"
+    )
+
+
 def generate_anchors(
     spark: SparkSession,
     n_docs: int = 4000,

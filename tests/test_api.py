@@ -85,8 +85,9 @@ def test_from_tables_prunes_to_candidate_closure(spark, universe, anchors):
     scalars = stats.corpus_scalars(anchors, cooc=cooc)
     lam = stats.with_lambda_potential(cooc, es, scalars)
     extra = spark.createDataFrame(
-        [(1_000_000, 1_000_001, 5, 1.0)],
-        "e1 bigint, e2 bigint, cocit bigint, lambda_potential double",
+        [(1_000_000, 1_000_001, 5, 1.0, 1.0, 0.0)],
+        "e1 bigint, e2 bigint, cocit bigint, lambda_potential double, "
+        "log_smoothed double, lp_sum double",
     )
     linker = EntityLinker.from_tables(
         ns, es, lam.unionByName(extra), scalars

@@ -31,8 +31,10 @@ PLAN_QUERIES = [
     "stat_name_stats", "stat_entity_stats", "stat_cooccurrence",
     "stat_lambda_potential", "stat_rho_context",
     "link_pair_scoring", "dedup_exact", "dedup_lsh_pairs",
-    "dedup_simhash_pairs", "text_quality", "text_fingerprint",
+    "dedup_simhash_pairs", "dedup_embedding_lsh_pairs",
+    "text_quality", "text_fingerprint",
     "ann_lsh_topk", "ann_ivf_topk", "text_unescape_links",
+    "stat_name_stats_redirected",
 ]
 
 # declared small-side exact paths where a nested-loop/cartesian shape is

@@ -185,3 +185,74 @@ def test_pack_rejects_ids_over_32_bits():
     rho = np.zeros((2, 2))
     with pytest.raises(ValueError, match="32 bits"):
         _solve_conv(ents, rho, {}, ScorerWeights(), max_product=True)
+
+
+def test_containment_candidate_augmentation(spark):
+    """MentEntsFreqIndexWrapper.scala:30-40: a mention strictly contained
+    in a co-document mention inherits the container's candidates with
+    prior 1/(total_freq+1); OOV mentions get nothing (the null path)."""
+    import math
+
+    mentions = spark.createDataFrame(
+        [
+            ("c1", 0, 1, "quantum analytics"),
+            ("c1", 1, 2, "quantum analytics corp"),
+            ("c1", 2, 3, "quantum"),          # OOV — must stay empty
+            ("c2", 0, 4, "quantum analytics"),  # other conv: no container
+        ],
+        "conv_id string, turn_idx int, mention_id bigint, ngram string",
+    )
+    name_stats = spark.createDataFrame(
+        [
+            ("quantum analytics", 7, 4, 4, 1.0, 1),
+            ("quantum analytics corp", 5, 10, 10, 1.0, 1),
+        ],
+        "name string, entity bigint, freq bigint, total_freq bigint, "
+        "prob double, rank int",
+    )
+    out = resolve.mention_candidates(mentions, name_stats, top_k=10)
+    rows = {(r["mention_id"], r["entity"]): r for r in out.collect()}
+    # contained mention inherited entity 5 from the container
+    assert (1, 7) in rows and (1, 5) in rows
+    assert rows[(1, 5)]["rho"] == pytest.approx(-math.log(5))  # 1/(4+1)
+    assert rows[(1, 7)]["rho"] == pytest.approx(0.0)           # log 1.0
+    # container itself gains nothing; OOV and cross-conv stay untouched
+    assert [k for k in rows if k[0] == 2] == [(2, 5)]
+    assert [k for k in rows if k[0] == 3] == []
+    assert [k for k in rows if k[0] == 4] == [(4, 7)]
+    # default-off path unchanged
+    base = resolve.mention_candidates(
+        mentions, name_stats, top_k=10, containment=False
+    )
+    assert {(r["mention_id"], r["entity"]) for r in base.collect()} == {
+        (1, 7), (2, 5), (4, 7)
+    }
+
+
+def test_containment_accuracy_not_regressed(spark, universe):
+    """LBP micro accuracy on the seeded corpus with augmentation on must
+    match or beat augmentation off (it adds low-prior candidates only)."""
+    from pboh_spark import evaluate, stats, synth
+    from pboh_spark.normalize import extract_mentions
+
+    transcripts, gold = synth.generate_transcripts(spark, 60, universe=universe)
+    anchors = synth.generate_anchors(spark, 1500, universe=universe)
+    mentions = extract_mentions(transcripts).cache()
+    ns = stats.name_stats(anchors).cache()
+    es = stats.entity_stats(anchors)
+    scalars = stats.corpus_scalars(anchors)
+    lam = stats.with_lambda_potential(stats.cooccurrence(anchors), es, scalars)
+
+    def acc(containment):
+        cand = resolve.mention_candidates(
+            mentions, ns, es, top_k=10, containment=containment
+        )
+        out = resolve.resolve_entities(
+            cand, resolve.conv_lambda_pairs(cand, lam), scalars=scalars
+        )
+        return evaluate.linking_accuracy(out, gold, mentions)["micro_accuracy"]
+
+    a_off, a_on = acc(False), acc(True)
+    mentions.unpersist()
+    ns.unpersist()
+    assert a_on >= a_off - 1e-9, (a_off, a_on)
