@@ -1023,10 +1023,7 @@ def pboh_learn_weights(spark, sf_dir):
     conv_lam = resolve.conv_lambda_pairs(
         cand, lam, value_cols=("log_smoothed", "lp_sum")
     )
-    n = float(max(scalars["num_total_pairs"], 1))
-    d = float(max(scalars["num_distinct_pairs"], 1))
-    backoff = max(n - 0.5 * d, 1e-9) / n
-    lam_const = float(np.log(backoff) - np.log(n))
+    lam_const = resolve.backoff_lam_const(scalars)
     _, hist = learning.learn_weights(
         cand_gold, conv_lam, n_rounds=12, eta=1.0, reg=0.01,
         lam_const=lam_const,

@@ -36,6 +36,8 @@ def run_pipeline(
     top_k: int = 10,
     with_lbp: bool = True,
     surface_mode: bool = False,
+    learn_gold: DataFrame | None = None,
+    learn_rounds: int = 12,
 ) -> dict:
     """Full run; returns metrics dict. All stages via StageCheckpointer —
     re-invoking with the same out_dir resumes after the last complete
@@ -45,7 +47,14 @@ def run_pipeline(
     (pairs.surface_nodes): pair features depend only on the surface
     strings, so each distinct pair is scored once and cluster labels are
     joined back to instances — the pair space is bounded by the surface
-    dictionary, not the corpus (the 10^12-turn path)."""
+    dictionary, not the corpus (the 10^12-turn path).
+
+    ``learn_gold`` (a gold-mention table) turns on the L2/L3 weight-fit
+    stage: {f, g, h} are re-fit on the gold corpus by pseudolikelihood
+    AdaGrad (learning.learn_weights — the reference's validated
+    constants were fit on Wikipedia; a transcript deployment re-fits on
+    its own annotations) and the fitted weights drive the LBP stage. The
+    fit history checkpoints like any stage, so resume skips it."""
     ck = StageCheckpointer(spark, out_dir)
     t0 = time.time()
     # surface-mode stages get distinct names — a mode switch on an
@@ -133,11 +142,47 @@ def run_pipeline(
             lambda: resolve.mention_candidates(mentions, name_stats, ent_stats, top_k),
             upstream=["s1_mentions", "s2_name_stats", "s2_entity_stats"],
         )
+        weights = None
+        if learn_gold is not None:
+            from pboh_spark import learning
+            from pboh_spark.stats import ScorerWeights
+
+            def build_weight_history() -> DataFrame:
+                cg = learning.learning_candidates(cand, mentions, learn_gold)
+                cl = resolve.conv_lambda_pairs(
+                    cand, lam, value_cols=("log_smoothed", "lp_sum")
+                )
+                _, hist = learning.learn_weights(
+                    cg, cl, n_rounds=learn_rounds,
+                    lam_const=resolve.backoff_lam_const(scalars),
+                )
+                return spark.createDataFrame(
+                    [(h["round"], h["n_convs"], h["loss"],
+                      h["f"], h["g"], h["h"]) for h in hist],
+                    "round int, n_convs int, loss double, f double, "
+                    "g double, h double",
+                )
+
+            hist_df = ck.run_stage(
+                "s5_weights",
+                build_weight_history,
+                upstream=["s5_candidates", "s2_lambda"],
+            )
+            last = hist_df.orderBy(F.desc("round")).first()
+            weights = ScorerWeights(
+                f=float(last["f"]), g=float(last["g"]), h=float(last["h"])
+            )
+            metrics["learned_weights"] = {
+                "f": weights.f, "g": weights.g, "h": weights.h,
+                "rounds": int(last["round"]),
+                "final_loss": float(last["loss"]),
+            }
         ck.run_stage(
             "s5_assignments",
             lambda: resolve.resolve_entities(
                 cand,
                 resolve.conv_lambda_pairs(cand, lam),
+                weights=weights,
                 max_product=True,
                 scalars=scalars,
             ),
@@ -198,6 +243,11 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.65)
     ap.add_argument("--evaluate", action="store_true", help="pairwise F1 vs synth gold")
     ap.add_argument(
+        "--learn-weights", action="store_true",
+        help="re-fit {f,g,h} on gold annotations before LBP (synth gold "
+             "when --input is omitted; requires gold for custom inputs)",
+    )
+    ap.add_argument(
         "--surface-mode", action="store_true",
         help="link distinct surfaces, expand labels to instances (the "
              "web-scale path; see SCALE.md)",
@@ -232,9 +282,13 @@ def main() -> None:
         if args.anchors
         else synth.generate_anchors(spark, max(args.n_conversations * 2, 4000), universe=uni)
     )
+    if args.learn_weights and gold is None:
+        ap.error("--learn-weights needs gold annotations (omit --input "
+                 "to use the synthetic gold corpus)")
     metrics = run_pipeline(
         spark, transcripts, anchors, args.out, args.threshold,
         surface_mode=args.surface_mode,
+        learn_gold=gold if args.learn_weights else None,
     )
 
     if args.evaluate and gold is not None:

@@ -221,6 +221,20 @@ def _kernel(weights: ScorerWeights, max_product: bool, lam_const: float):
     return solve
 
 
+def backoff_lam_const(
+    scalars: dict[str, int], w: ScorerWeights | None = None
+) -> float:
+    """Closed-form independence-backoff constant log((N − δ·D)/N) − log N
+    for entity pairs absent from the lambda table (ScorerFull.scala:
+    212-213 recast; N = total pairs, D = distinct pairs). Shared by the
+    LBP kernel and the learning kernel so both back off identically."""
+    w = w or ScorerWeights()
+    n = float(max(scalars.get("num_total_pairs", 1), 1))
+    d = float(max(scalars.get("num_distinct_pairs", 1), 1))
+    backoff = max(n - w.delta_cocit * d, 1e-9) / n
+    return float(np.log(backoff) - np.log(n))
+
+
 def conv_lambda_pairs(
     candidates: DataFrame,
     lambda_table: DataFrame,
@@ -368,13 +382,7 @@ def resolve_entities(
     ``scalars`` (stats.corpus_scalars) parameterizes the closed-form
     independence-backoff lambda for pairs missing from conv_lambdas."""
     w = weights or ScorerWeights()
-    if scalars:
-        n = float(max(scalars.get("num_total_pairs", 1), 1))
-        d = float(max(scalars.get("num_distinct_pairs", 1), 1))
-        backoff = max(n - w.delta_cocit * d, 1e-9) / n
-        lam_const = float(np.log(backoff) - np.log(n))
-    else:
-        lam_const = LAMBDA_FLOOR
+    lam_const = backoff_lam_const(scalars, w) if scalars else LAMBDA_FLOOR
     # conv_lambdas usually derives from candidates (shared attribute ids);
     # localCheckpoint gives it fresh lineage so the cogroup analyzes cleanly
     # — and truncates the self-join plan, which is what we want before an

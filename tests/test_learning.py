@@ -180,3 +180,28 @@ def test_loss_increases_and_fitted_beats_shipped(spark):
     acc_fit = accuracy(w_fit)
     assert acc_shipped == pytest.approx(0.5)   # every 'amb' misranked
     assert acc_fit == 1.0                       # learned g flips them
+
+
+def test_pipeline_learn_weights_stage(spark, universe, tmp_path):
+    """--learn-weights integration: the weight-fit runs as a checkpointed
+    stage, fitted weights land in metrics and drive LBP, and linking
+    accuracy stays at the gate."""
+    from pboh_spark import evaluate, synth
+    from pboh_spark.pipeline import run_pipeline
+
+    transcripts, gold = synth.generate_transcripts(spark, 80, universe=universe)
+    anchors = synth.generate_anchors(spark, 2000, universe=universe)
+    out = str(tmp_path / "ck")
+    metrics = run_pipeline(
+        spark, transcripts, anchors, out, learn_gold=gold, learn_rounds=5
+    )
+    lw = metrics["learned_weights"]
+    assert lw["rounds"] == 5
+    assert 0.001 <= lw["f"] <= 15 and 0.001 <= lw["g"] <= 15
+    from pathlib import Path
+
+    assert (Path(out) / "s5_weights" / "metrics.json").exists()
+    m = spark.read.parquet(f"{out}/s1_mentions/data")
+    assign = spark.read.parquet(f"{out}/s5_assignments/data")
+    acc = evaluate.linking_accuracy(assign, gold, m)
+    assert acc["micro_accuracy"] >= 0.99, (acc, lw)
