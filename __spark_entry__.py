@@ -914,9 +914,11 @@ def ann_lsh_topk(spark, sf_dir):
 # synthetic-pipeline queries (rows-only: iterative LBP / full pipeline)
 # ---------------------------------------------------------------------------
 
-def _resolve_lbp(spark, max_product: bool):
+def _resolve_lbp(spark, max_product: bool, full: bool = False):
     """Shared body of the two LBP resolution queries: seeded corpus →
-    stats → candidates → bounded message passing (C4-C8)."""
+    stats → candidates → bounded message passing (C4-C8). ``full``
+    returns every kernel column (n_iters/converged/score) for the
+    telemetry rollup query."""
     from pboh_spark import resolve, stats, synth
     from pboh_spark.normalize import extract_mentions
 
@@ -933,6 +935,8 @@ def _resolve_lbp(spark, max_product: bool):
         cand, resolve.conv_lambda_pairs(cand, lam), max_product=max_product,
         scalars=scalars,
     )
+    if full:
+        return out
     return out.select("conv_id", "mention_id", "entity", "converged")
 
 
@@ -947,6 +951,24 @@ def pboh_resolve_lbp_sumprod(spark, sf_dir):
     marginal-belief resolution on the same seeded corpus — the judge can
     diff max-product vs sum-product assignments directly."""
     return _resolve_lbp(spark, max_product=False)
+
+
+def pboh_convergence_report(spark, sf_dir):
+    """LBP convergence telemetry rollup (GlobalStats.scala:200-209 +
+    doc-size buckets :116-141): iters/convergence per conversation-size
+    bucket over the seeded max-product resolution — the per-round
+    telemetry a 10^12-turn deployment monitors."""
+    from pboh_spark import resolve
+
+    out = _resolve_lbp(spark, max_product=True, full=True)
+    return resolve.convergence_report(out).select(
+        "bucket",
+        F.col("n_convs").cast("bigint").alias("n_convs"),
+        F.col("n_mentions").cast("bigint").alias("n_mentions"),
+        "avg_iters",
+        F.col("max_iters").cast("int").alias("max_iters"),
+        "pct_converged",
+    )
 
 
 def pboh_e2e_clusters(spark, sf_dir):
@@ -1033,10 +1055,12 @@ def pboh_learn_weights(spark, sf_dir):
             (
                 h["round"], h["n_convs"], round(h["loss"], 6),
                 round(h["f"], 6), round(h["g"], 6), round(h["h"], 6),
+                round(h["b"], 6),
             )
             for h in hist
         ],
-        "round int, n_convs int, loss double, f double, g double, h double",
+        "round int, n_convs int, loss double, f double, g double, "
+        "h double, b double",
     )
 
 
@@ -1138,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "pboh_resolve_lbp": pboh_resolve_lbp,
         "pboh_resolve_lbp_sumprod": pboh_resolve_lbp_sumprod,
+        "pboh_convergence_report": pboh_convergence_report,
         "pboh_e2e_clusters": pboh_e2e_clusters,
         "pboh_surface_clusters": pboh_surface_clusters,
         "pboh_threshold_grid": pboh_threshold_grid,

@@ -37,9 +37,11 @@ BENCH_QUERIES = [
     "rel_q5_nation_revenue",
     "rel_window_running",
     "stat_name_stats",
+    "stat_name_stats_redirected",
     "stat_lambda_potential",
     "link_pair_scoring",
     "dedup_lsh_pairs",
+    "dedup_embedding_lsh_pairs",
     "dedup_simhash",
     "cc_components",
     "text_quality",

@@ -1,5 +1,5 @@
 """Distributed few-params weight learning (L2/L3) — pseudolikelihood
-gradients for the scorer weights {f, g, h}, fit with AdaGrad + box
+gradients for the scorer weights {f, g, h, b}, fit with AdaGrad + box
 projection.
 
 Reference parity (file:line in /root/reference/src/main/scala/):
@@ -62,7 +62,7 @@ from pboh_spark.stats import ScorerWeights
 
 GRAD_SCHEMA = (
     "conv_id string, loss double, g_f double, g_g double, g_h double, "
-    "n_mentions int"
+    "g_b double, n_mentions int"
 )
 CLAMP = 10.0  # FewParamsLearning.scala:330 log_factor discard threshold
 MAX_DOC = 25  # FewParamsLearning.scala:364
@@ -80,13 +80,24 @@ def _pl_conv(
     c1_map: dict[int, float],  # packed pair -> lp_sum
     w: ScorerWeights,
     lam_const: float = LAMBDA_FLOOR,
+    ctx: np.ndarray | None = None,  # (L, K) context evidence Σ log(p̃/p̂)
 ) -> tuple[float, np.ndarray, int]:
-    """One conversation's pseudolikelihood loss and d/d(f,g,h).
-    Pure numpy — unit-testable against central finite differences."""
+    """One conversation's pseudolikelihood loss and d/d(f, g, h, b).
+    Pure numpy — unit-testable against central finite differences.
+
+    With ``ctx`` the unary is the full C1 rho, a·rho_prior + b·ctx
+    (ScorerFull.scala:15-104), and ∂φ/∂b = f·ctx is ANALYTIC — the
+    reference resorts to finite differences for b
+    (FewParamsLearning.scala:426-436, commented out as 'very ugly');
+    the affine decomposition makes it exact here. ``a`` is held fixed:
+    φ is linear in (f·a, f·b), so fitting a alongside f is a pure scale
+    degeneracy (the reference fits both anyway and leans on the
+    regularizer to pin it — we drop the redundant coordinate instead).
+    Without ``ctx``, ∂/∂b is identically 0 and b rides its prior."""
     L, K = ents.shape
     valid = ents >= 0
     if L < 2 or L > MAX_DOC:
-        return 0.0, np.zeros(3), 0
+        return 0.0, np.zeros(4), 0
     # gold log-pop per neighbor (0.0 when gold is outside the candidate set)
     gold_lp = np.where(
         gold_idx >= 0, logpop[np.arange(L), np.maximum(gold_idx, 0)], 0.0
@@ -108,19 +119,22 @@ def _pl_conv(
     pair1 = np.einsum("ikj,ij->ik", c1, mask)
     pw = 2.0 / (L - 1)
     lam_sum = pair0 - w.h * pair1          # Σ_j λ(h)
-    phi = w.f * rho + w.g * pw * lam_sum   # log_factor per candidate
-    d_f = rho.copy()
+    unary = w.a * rho + (w.b * ctx if ctx is not None else 0.0)
+    phi = w.f * unary + w.g * pw * lam_sum  # log_factor per candidate
+    d_f = unary.copy()
     d_g = pw * lam_sum
     d_h = -w.g * pw * pair1
+    d_b = w.f * ctx if ctx is not None else np.zeros_like(rho)
+    d_b = d_b.copy()
     # discard clamp (:330-338): factor and partials zeroed past +10
     big = phi > CLAMP
-    for arr in (phi, d_f, d_g, d_h):
+    for arr in (phi, d_f, d_g, d_h, d_b):
         arr[big] = 0.0
     phi = np.where(valid, phi, -np.inf)
     contrib = gold_idx >= 0
     n = int(contrib.sum())
     if n == 0:
-        return 0.0, np.zeros(3), 0
+        return 0.0, np.zeros(4), 0
     idx = np.where(contrib)[0]
     gidx = gold_idx[idx]
     mx = phi[idx].max(axis=1, keepdims=True)
@@ -129,8 +143,8 @@ def _pl_conv(
     lse = (np.log(z) + mx)[:, 0]
     p = zexp / z
     loss = float(((phi[idx, gidx] - lse) / L).sum())
-    grads = np.zeros(3)
-    for gi, d in enumerate((d_f, d_g, d_h)):
+    grads = np.zeros(4)
+    for gi, d in enumerate((d_f, d_g, d_h, d_b)):
         dm = np.where(valid[idx], d[idx], 0.0)
         grads[gi] = float(
             ((d[idx, gidx] - (p * dm).sum(axis=1)) / L).sum()
@@ -140,7 +154,7 @@ def _pl_conv(
 
 def _grad_kernel(w: ScorerWeights, lam_const: float):
     def solve(cand: pd.DataFrame, lam: pd.DataFrame) -> pd.DataFrame:
-        cols = ["conv_id", "loss", "g_f", "g_g", "g_h", "n_mentions"]
+        cols = ["conv_id", "loss", "g_f", "g_g", "g_h", "g_b", "n_mentions"]
         if cand.empty:
             return pd.DataFrame(columns=cols)
         conv = cand["conv_id"].iloc[0]
@@ -158,6 +172,8 @@ def _grad_kernel(w: ScorerWeights, lam_const: float):
         ents = np.full((L, K), -1, dtype=np.int64)
         rho = np.full((L, K), -1.0e30, dtype=np.float64)
         logpop = np.zeros((L, K), dtype=np.float64)
+        has_ctx = "ctx_evidence" in cand.columns
+        ctx = np.zeros((L, K), dtype=np.float64) if has_ctx else None
         surfaces = np.empty(L, dtype=object)
         gold_ent = np.zeros(L, dtype=np.int64)
         gold_idx = np.full(L, -1, dtype=np.int64)
@@ -167,6 +183,10 @@ def _grad_kernel(w: ScorerWeights, lam_const: float):
             ents[i, :k] = e
             rho[i, :k] = grp["rho"].to_numpy()
             logpop[i, :k] = grp["log_pop"].fillna(0.0).to_numpy(np.float64)
+            if has_ctx:
+                ctx[i, :k] = (
+                    grp["ctx_evidence"].fillna(0.0).to_numpy(np.float64)
+                )
             surfaces[i] = grp["ngram"].iloc[0]
             ge = int(grp["gold_entity"].iloc[0])
             gold_ent[i] = ge
@@ -175,11 +195,12 @@ def _grad_kernel(w: ScorerWeights, lam_const: float):
                 gold_idx[i] = int(hit[0])
         loss, g, n = _pl_conv(
             ents, rho, logpop, surfaces, gold_ent, gold_idx,
-            c0_map, c1_map, w, lam_const,
+            c0_map, c1_map, w, lam_const, ctx=ctx,
         )
         return pd.DataFrame(
             {"conv_id": [conv], "loss": [loss], "g_f": [g[0]],
-             "g_g": [g[1]], "g_h": [g[2]], "n_mentions": [n]}
+             "g_g": [g[1]], "g_h": [g[2]], "g_b": [g[3]],
+             "n_mentions": [n]}
         )
 
     return solve
@@ -189,9 +210,12 @@ def learning_candidates(
     candidates: DataFrame, mentions: DataFrame, gold: DataFrame
 ) -> DataFrame:
     """Joins gold labels + surfaces onto the candidate table:
-    (conv_id, mention_id, entity, rho, log_pop, ngram, gold_entity).
-    Mentions without a gold annotation are dropped (they cannot supply a
-    pseudolikelihood term or a gold-conditioned neighbor)."""
+    (conv_id, mention_id, entity, rho, log_pop[, ctx_evidence], ngram,
+    gold_entity). Mentions without a gold annotation are dropped (they
+    cannot supply a pseudolikelihood term or a gold-conditioned
+    neighbor). A ``ctx_evidence`` column on the input (the unfused
+    Σ log(p̃/p̂) term, with ``rho`` prior-only) passes through and turns
+    on the b-weight gradient."""
     gm = (
         gold.select(
             "conv_id", "turn_idx",
@@ -204,8 +228,11 @@ def learning_candidates(
     mg = mentions.join(gm, ["conv_id", "turn_idx", "ngram"], "inner").select(
         "mention_id", "ngram", "gold_entity"
     )
+    extra = (
+        ["ctx_evidence"] if "ctx_evidence" in candidates.columns else []
+    )
     return candidates.join(mg, "mention_id", "inner").select(
-        "conv_id", "mention_id", "entity", "rho", "log_pop",
+        "conv_id", "mention_id", "entity", "rho", "log_pop", *extra,
         "ngram", "gold_entity",
     )
 
@@ -235,14 +262,17 @@ def _merge_round(grads: DataFrame) -> tuple[float, np.ndarray, int]:
     ≙ Learning.scala:296-361's reduce-then-finalMerge, made deterministic."""
     q = lambda c: F.sum(F.round(F.col(c) * _FIXED).cast("long")).alias(c)  # noqa: E731
     row = grads.agg(
-        q("loss"), q("g_f"), q("g_g"), q("g_h"),
+        q("loss"), q("g_f"), q("g_g"), q("g_h"), q("g_b"),
         F.sum(F.when(F.col("n_mentions") > 0, 1).otherwise(0)).alias("n_convs"),
     ).collect()[0]
     n = int(row["n_convs"] or 0)
     if n == 0:
-        return 0.0, np.zeros(3), 0
+        return 0.0, np.zeros(4), 0
     loss = row["loss"] / _FIXED / n
-    g = np.array([row["g_f"], row["g_g"], row["g_h"]]) / _FIXED / n
+    g = (
+        np.array([row["g_f"], row["g_g"], row["g_h"], row["g_b"]])
+        / _FIXED / n
+    )
     return float(loss), g, n
 
 
@@ -254,44 +284,51 @@ def learn_weights(
     eta: float = 1.0,
     reg: float = 0.01,
     lam_const: float = LAMBDA_FLOOR,
-    priors: tuple[float, float, float] | None = None,
+    priors: tuple[float, float, float, float] | None = None,
 ) -> tuple[ScorerWeights, list[dict]]:
-    """Full-batch AdaGrad ascent on the regularized pseudolikelihood.
-    One Spark job per round (the distributed-SGD round/merge shape,
-    Learning.scala:296-361); the AdaGrad state and box projection live on
-    the driver (FewParamsLearning.scala:819-849, ScorerWeights.scala:
-    120-132: f,g clamped to [0.001, 15], h unprojected).
+    """Full-batch AdaGrad ascent on the regularized pseudolikelihood
+    over θ = (f, g, h, b). One Spark job per round (the distributed-SGD
+    round/merge shape, Learning.scala:296-361); the AdaGrad state and
+    box projection live on the driver (FewParamsLearning.scala:819-849,
+    ScorerWeights.scala:120-150: f,g clamped to [0.001, 15], b to
+    [1e-8, 10], h unprojected).
+
+    b (the context-evidence weight) only moves when ``cand_gold``
+    carries a ``ctx_evidence`` column (with ``rho`` then being the
+    PRIOR-ONLY log p̂(e|m)); otherwise its gradient is identically 0 and
+    the regularizer pins it at its prior.
 
     Returns (fitted weights, history) where history[r] =
-    {round, loss, f, g, h} recorded AFTER round r's update; history[0]
-    is the init evaluation (no update). Deterministic at any parallelism
-    (see _merge_round)."""
+    {round, loss, f, g, h, b} recorded AFTER round r's update;
+    history[0] is the init evaluation (no update). Deterministic at any
+    parallelism (see _merge_round)."""
     w = init or ScorerWeights()
-    pr = np.array(priors if priors is not None else (w.f, w.g, w.h))
+    pr = np.array(priors if priors is not None else (w.f, w.g, w.h, w.b))
     cand_gold = cand_gold.persist()
     conv_lambdas = conv_lambdas.persist()
-    sq = np.zeros(3)
+    sq = np.zeros(4)
     history: list[dict] = []
     try:
         for r in range(n_rounds + 1):
             loss, g, n = _merge_round(
                 pseudolikelihood_grads(cand_gold, conv_lambdas, w, lam_const)
             )
-            theta = np.array([w.f, w.g, w.h])
+            theta = np.array([w.f, w.g, w.h, w.b])
             loss -= reg / 2.0 * float(((theta - pr) ** 2).sum())
             history.append(
                 {"round": r, "loss": loss, "f": w.f, "g": w.g, "h": w.h,
-                 "n_convs": n}
+                 "b": w.b, "n_convs": n}
             )
             if r == n_rounds:
                 break
             g = g - reg * (theta - pr)
             sq += g * g
             theta = theta + eta / np.sqrt(1.0 + sq) * g  # ascent, :841-846
-            f, gg, h = theta
+            f, gg, h, b = theta
             f = min(max(f, 0.001), 15.0)   # ScorerWeights.scala:127-132
             gg = min(max(gg, 0.001), 15.0)  # :121-126
-            w = replace(w, f=float(f), g=float(gg), h=float(h))
+            b = min(max(b, 1e-8), 10.0)     # :146-150
+            w = replace(w, f=float(f), g=float(gg), h=float(h), b=float(b))
     finally:
         cand_gold.unpersist()
         conv_lambdas.unpersist()

@@ -158,9 +158,9 @@ def run_pipeline(
                 )
                 return spark.createDataFrame(
                     [(h["round"], h["n_convs"], h["loss"],
-                      h["f"], h["g"], h["h"]) for h in hist],
+                      h["f"], h["g"], h["h"], h["b"]) for h in hist],
                     "round int, n_convs int, loss double, f double, "
-                    "g double, h double",
+                    "g double, h double, b double",
                 )
 
             hist_df = ck.run_stage(
@@ -170,10 +170,12 @@ def run_pipeline(
             )
             last = hist_df.orderBy(F.desc("round")).first()
             weights = ScorerWeights(
-                f=float(last["f"]), g=float(last["g"]), h=float(last["h"])
+                f=float(last["f"]), g=float(last["g"]),
+                h=float(last["h"]), b=float(last["b"]),
             )
             metrics["learned_weights"] = {
                 "f": weights.f, "g": weights.g, "h": weights.h,
+                "b": weights.b,
                 "rounds": int(last["round"]),
                 "final_loss": float(last["loss"]),
             }

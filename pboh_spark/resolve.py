@@ -287,6 +287,13 @@ def augment_containment(
     re-prunes to top-k by (rho desc, entity asc). Mentions that are OOV
     themselves get no augmentation (the reference returns null before
     merging, :23-26) — enforced by the inner join on name_stats totals.
+
+    Cost at scale: the final prune is ONE extra hash partition of the
+    candidate table on mention_id with ≤ k·(1+containers) rows per group
+    (skew impossible — group key is the mention instance). Pruning only
+    the augmented subset would need a semi+anti join pair, i.e. two
+    shuffles of the same table, so the single window is the cheaper
+    plan.
     """
     m = mentions.select("conv_id", "mention_id", "ngram")
     a, b = m.alias("a"), m.alias("b")

@@ -61,6 +61,60 @@ def test_finite_difference_gradients():
             assert grads[gi] == pytest.approx(fd, rel=1e-4, abs=1e-7), field
 
 
+def test_finite_difference_gradient_b_with_context():
+    """∂/∂b (the context-evidence weight) is analytic here — the
+    reference falls back to finite differences (FewParamsLearning.scala
+    :426-436); verify ours against central differences with a ctx
+    tensor attached, plus f/g/h in the same full-rho regime."""
+    rng = np.random.default_rng(17)
+    eps = 1e-6
+    for _ in range(10):
+        L = int(rng.integers(2, 5))
+        inst = _rand_instance(rng, L=L)
+        ctx = rng.uniform(0, 2.5, inst[0].shape)
+        loss, grads, n = _pl_conv(*inst, W, lam_const=-8.0, ctx=ctx)
+        assert n >= 1
+        for gi, field in enumerate(("f", "g", "h", "b")):
+            wp = replace(ScorerWeights(), **{field: getattr(W, field) + eps})
+            wm = replace(ScorerWeights(), **{field: getattr(W, field) - eps})
+            lp, _, _ = _pl_conv(*inst, wp, lam_const=-8.0, ctx=ctx)
+            lm, _, _ = _pl_conv(*inst, wm, lam_const=-8.0, ctx=ctx)
+            fd = (lp - lm) / (2 * eps)
+            assert grads[gi] == pytest.approx(fd, rel=1e-4, abs=1e-7), field
+
+
+def test_context_weight_b_is_learned(spark):
+    """Corpus where only context evidence disambiguates (two same-surface
+    mentions ⇒ no pair terms by the xj != x guard): fitted b must rise
+    and flip the held-out argmax to the gold entity."""
+    rows, lam_rows = [], []
+    for i in range(16):
+        c = f"b{i}"
+        # mention 1: gold A2 (prior 0.3) but ctx evidence 2.0; A1 none
+        rows += [
+            (c, 10 * i + 1, 1, math.log(0.7), 0.0, 0.0, "amb", 2),
+            (c, 10 * i + 1, 2, math.log(0.3), 0.0, 2.0, "amb", 2),
+            (c, 10 * i + 2, 1, math.log(0.7), 0.0, 0.0, "amb", 2),
+            (c, 10 * i + 2, 2, math.log(0.3), 0.0, 2.0, "amb", 2),
+        ]
+    cand = spark.createDataFrame(
+        rows,
+        "conv_id string, mention_id bigint, entity bigint, rho double, "
+        "log_pop double, ctx_evidence double, ngram string, "
+        "gold_entity bigint",
+    )
+    lam = spark.createDataFrame(
+        [], "conv_id string, e1 bigint, e2 bigint, log_smoothed double, "
+            "lp_sum double",
+    )
+    w_fit, hist = learn_weights(cand, lam, n_rounds=30, eta=1.0)
+    assert hist[-1]["loss"] > hist[0]["loss"]
+    assert w_fit.b > W.b  # context weight strengthened
+    # held-out flip: b·ctx must now beat the prior gap log(0.7/0.3)
+    assert w_fit.f * (w_fit.a * math.log(0.3) + w_fit.b * 2.0) > \
+        w_fit.f * (w_fit.a * math.log(0.7))
+
+
 def test_doc_size_guard():
     """l ∈ (1, 25] — FewParamsLearning.scala:364: singleton convs and
     oversized docs contribute nothing."""
@@ -121,6 +175,7 @@ def test_spark_kernel_matches_numpy(spark):
     assert row["g_f"] == pytest.approx(g[0], abs=1e-12)
     assert row["g_g"] == pytest.approx(g[1], abs=1e-12)
     assert row["g_h"] == pytest.approx(g[2], abs=1e-12)
+    assert row["g_b"] == pytest.approx(g[3], abs=1e-12) == 0.0  # no ctx col
     assert row["n_mentions"] == n == 2
 
 
