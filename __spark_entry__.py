@@ -803,10 +803,11 @@ def dedup_embedding_lsh_pairs(spark, sf_dir):
     ``use_lsh=True`` DEFAULT of ops.dedup.embedding_neardup_pairs):
     bucket self-join on (table, signature) ⇒ Σ bucket² pair space, then
     exact cosine verification. Planted near-dups: every vec_id < 25 gets
-    a shifted-mix copy at id+100000 (v'[i] = v[i] + 0.05·v[(i+1) mod 64]
-    — exact IEEE ops only, so both engines derive bit-identical inputs);
-    the oracle replicates planting, the literal seeded hyperplanes, the
-    bucket join, and the threshold in SQL."""
+    a shifted-mix copy at −vec_id−1 (negated so the planted id can NEVER
+    collide with a real vec_id at any sf; v'[i] = v[i] + 0.05·v[(i+1)
+    mod 64] — exact IEEE ops only, so both engines derive bit-identical
+    inputs); the oracle replicates planting, the literal seeded
+    hyperplanes, the bucket join, and the threshold in SQL."""
     from pboh_spark.ops.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -815,7 +816,7 @@ def dedup_embedding_lsh_pairs(spark, sf_dir):
         v, lambda x, i: x + 0.05 * F.element_at(v, (i + 1) % 64 + 1)
     )
     dups = emb.where(F.col("vec_id") < 25).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), pert.alias("embedding")
+        (-F.col("vec_id") - 1).alias("vec_id"), pert.alias("embedding")
     )
     allv = emb.select("vec_id", v.alias("embedding")).unionByName(dups)
     return embedding_neardup_pairs(allv, threshold=0.9, use_lsh=True).select(
@@ -2065,7 +2066,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         ),
         dups AS (
-            SELECT vec_id + 100000 AS vec_id, list(val ORDER BY i) AS v
+            SELECT -vec_id - 1 AS vec_id, list(val ORDER BY i) AS v
             FROM (
                 SELECT vec_id, i,
                        v[i] + 0.05 * v[(i % 64) + 1] AS val

@@ -242,12 +242,21 @@ def pseudolikelihood_grads(
     conv_lambdas: DataFrame,
     weights: ScorerWeights,
     lam_const: float = LAMBDA_FLOOR,
+    checkpoint: bool = True,
 ) -> DataFrame:
-    """Per-conversation (loss, ∂f, ∂g, ∂h) — one cogrouped Arrow exchange
-    on conv_id, the same distribution shape as resolve.resolve_entities.
-    ``conv_lambdas`` must carry (conv_id, e1, e2, log_smoothed, lp_sum)
-    (resolve.conv_lambda_pairs(..., value_cols=("log_smoothed","lp_sum")))."""
-    lam = conv_lambdas.localCheckpoint(eager=False)
+    """Per-conversation (loss, ∂f, ∂g, ∂h, ∂b) — one cogrouped Arrow
+    exchange on conv_id, the same distribution shape as
+    resolve.resolve_entities. ``conv_lambdas`` must carry (conv_id, e1,
+    e2, log_smoothed, lp_sum)
+    (resolve.conv_lambda_pairs(..., value_cols=("log_smoothed","lp_sum"))).
+    ``checkpoint=False`` skips the lineage-truncating localCheckpoint —
+    pass it when the caller already checkpointed the (static) lambda
+    table once, e.g. learn_weights' round loop."""
+    lam = (
+        conv_lambdas.localCheckpoint(eager=False)
+        if checkpoint
+        else conv_lambdas
+    )
     return (
         cand_gold.groupBy("conv_id")
         .cogroup(lam.groupBy("conv_id"))
@@ -305,13 +314,17 @@ def learn_weights(
     w = init or ScorerWeights()
     pr = np.array(priors if priors is not None else (w.f, w.g, w.h, w.b))
     cand_gold = cand_gold.persist()
-    conv_lambdas = conv_lambdas.persist()
+    # checkpoint the (static) lambda table ONCE — per-round checkpointing
+    # would re-materialize the same table n_rounds+1 times
+    conv_lambdas = conv_lambdas.localCheckpoint(eager=False).persist()
     sq = np.zeros(4)
     history: list[dict] = []
     try:
         for r in range(n_rounds + 1):
             loss, g, n = _merge_round(
-                pseudolikelihood_grads(cand_gold, conv_lambdas, w, lam_const)
+                pseudolikelihood_grads(
+                    cand_gold, conv_lambdas, w, lam_const, checkpoint=False
+                )
             )
             theta = np.array([w.f, w.g, w.h, w.b])
             loss -= reg / 2.0 * float(((theta - pr) ** 2).sum())

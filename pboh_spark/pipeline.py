@@ -147,6 +147,14 @@ def run_pipeline(
             from pboh_spark import learning
             from pboh_spark.stats import ScorerWeights
 
+            if "log_smoothed" not in lam.columns:
+                raise ValueError(
+                    "--learn-weights needs the lambda table's affine "
+                    "columns (log_smoothed, lp_sum); the resumed s2_lambda "
+                    "checkpoint predates them — delete s2_lambda/ under the "
+                    "out_dir so the stage rebuilds with the current schema"
+                )
+
             def build_weight_history() -> DataFrame:
                 cg = learning.learning_candidates(cand, mentions, learn_gold)
                 cl = resolve.conv_lambda_pairs(
@@ -179,42 +187,68 @@ def run_pipeline(
                 "rounds": int(last["round"]),
                 "final_loss": float(last["loss"]),
             }
-        ck.run_stage(
-            "s5_assignments",
-            lambda: resolve.resolve_entities(
-                cand,
-                resolve.conv_lambda_pairs(cand, lam),
-                weights=weights,
-                max_product=True,
+
+        def build_assignments() -> DataFrame:
+            if weights is None:
+                conv_lam = resolve.conv_lambda_pairs(cand, lam)
+            else:
+                # the fitted h must reach STORED pairs too, not just the
+                # kernel's backoff default — re-evaluate the affine
+                # λ(h) = log_smoothed − h·lp_sum at the learned h (the
+                # checkpointed lambda_potential was baked at the prior h)
+                conv_lam = resolve.conv_lambda_pairs(
+                    cand, lam, value_cols=("log_smoothed", "lp_sum")
+                ).select(
+                    "conv_id", "e1", "e2",
+                    (
+                        F.col("log_smoothed")
+                        - F.lit(weights.h) * F.col("lp_sum")
+                    ).alias("lambda_potential"),
+                )
+            return resolve.resolve_entities(
+                cand, conv_lam, weights=weights, max_product=True,
                 scalars=scalars,
-            ),
-            upstream=["s5_candidates", "s2_lambda"],
+            )
+
+        # fitted-weights assignments checkpoint under their own stage name
+        # (like the _surf suffix): toggling --learn-weights on an existing
+        # out_dir must rebuild, never silently reuse the other mode's LBP
+        # output — and the weight stage is an explicit upstream
+        assign_name = "s5_assignments" if weights is None else "s5_assignments_fit"
+        assign_upstream = ["s5_candidates", "s2_lambda"] + (
+            ["s5_weights"] if weights is not None else []
+        )
+        ck.run_stage(
+            assign_name,
+            build_assignments,
+            upstream=assign_upstream,
             observe={
                 "pct_converged": F.avg(F.col("converged").cast("int")),
                 "avg_iters": F.avg(F.col("n_iters")),
             },
         )
-        sm = ck.stage_metrics("s5_assignments")
+        sm = ck.stage_metrics(assign_name)
         pct = sm.get("observed", {}).get("pct_converged")
-        if pct is None:
-            # stage resumed from a checkpoint written before the observe()
-            # change (its metrics.json has no 'observed') — compute once
-            assignments = spark.read.parquet(
-                str(ck._paths("s5_assignments")[0])
-            )
-            pct = assignments.agg(
-                F.avg(F.col("converged").cast("int"))
-            ).collect()[0][0]
+        avg_iters = sm.get("observed", {}).get("avg_iters")
         # bucketed convergence rollup ≙ GlobalStats.scala:200-209 — two
         # tiny aggs over the checkpointed assignments parquet (column-
         # pruned scan of a small table; the stage write itself already
         # carried the global observes above)
-        assignments = spark.read.parquet(str(ck._paths("s5_assignments")[0]))
+        assignments = spark.read.parquet(str(ck._paths(assign_name)[0]))
+        if pct is None or avg_iters is None:
+            # stage resumed from a checkpoint written before the observe()
+            # change (its metrics.json has no 'observed') — compute once
+            row = assignments.agg(
+                F.avg(F.col("converged").cast("int")).alias("p"),
+                F.avg(F.col("n_iters")).alias("a"),
+            ).collect()[0]
+            pct = row["p"] if pct is None else pct
+            avg_iters = row["a"] if avg_iters is None else avg_iters
         conv_rows = resolve.convergence_report(assignments).collect()
         metrics["lbp"] = {
             "n_assignments": sm.get("rows"),
             "pct_converged": pct,
-            "avg_iters": sm.get("observed", {}).get("avg_iters"),
+            "avg_iters": avg_iters,
             "convergence_by_size": [r.asDict() for r in conv_rows],
         }
 

@@ -39,14 +39,23 @@ def resolve_redirects(
 
     Cycles longer than ``max_hops`` terminate at the last hop (bounded
     plan — no iterative driver loop; redirect chains beyond max_hops are
-    a data bug, not a reason for an unbounded fixpoint)."""
-    r = redirects.select("alias", "canonical")
+    a data bug, not a reason for an unbounded fixpoint).
+
+    The dim columns are renamed to reserved names before the join so a
+    fact table that itself carries 'alias'/'canonical' columns neither
+    trips an ambiguous reference nor loses its own columns to drop()."""
+    r = redirects.select(
+        F.col("alias").alias("__redir_alias"),
+        F.col("canonical").alias("__redir_canonical"),
+    )
     out = df
     for _ in range(max_hops):
         out = (
-            out.join(r, out[col] == r["alias"], "left")
-            .withColumn(col, F.coalesce(F.col("canonical"), F.col(col)))
-            .drop("alias", "canonical")
+            out.join(r, out[col] == r["__redir_alias"], "left")
+            .withColumn(
+                col, F.coalesce(F.col("__redir_canonical"), F.col(col))
+            )
+            .drop("__redir_alias", "__redir_canonical")
         )
     return out
 

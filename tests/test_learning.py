@@ -257,6 +257,10 @@ def test_pipeline_learn_weights_stage(spark, universe, tmp_path):
 
     assert (Path(out) / "s5_weights" / "metrics.json").exists()
     m = spark.read.parquet(f"{out}/s1_mentions/data")
-    assign = spark.read.parquet(f"{out}/s5_assignments/data")
+    # fitted-mode assignments live under their own stage name so a
+    # --learn-weights toggle on an existing out_dir can't silently reuse
+    # the default-weight LBP output
+    assert not (Path(out) / "s5_assignments").exists()
+    assign = spark.read.parquet(f"{out}/s5_assignments_fit/data")
     acc = evaluate.linking_accuracy(assign, gold, m)
     assert acc["micro_accuracy"] >= 0.99, (acc, lw)

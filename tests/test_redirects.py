@@ -70,3 +70,16 @@ def test_coverage_diagnostic(spark, redirects):
     df = _names(spark, ["a", "b", "c", "z"])
     cov = redirect_coverage(df, redirects)
     assert cov == {"n_rows": 4, "n_redirected": 2}
+
+
+def test_fact_table_with_alias_column_survives(spark, redirects):
+    """A fact table carrying its own 'alias'/'canonical' columns must not
+    trip an ambiguous reference or lose those columns to the chase."""
+    df = spark.createDataFrame(
+        [("c", "keepme", "mine")],
+        "name string, alias string, canonical string",
+    )
+    out = resolve_redirects(df, redirects).collect()[0]
+    assert out["name"] == "a"          # chased 2 hops
+    assert out["alias"] == "keepme"    # caller columns intact
+    assert out["canonical"] == "mine"
