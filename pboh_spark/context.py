@@ -97,9 +97,15 @@ def rho_with_context(
     wef: DataFrame,
     wfreq: DataFrame,
     weights: ScorerWeights | None = None,
+    fused: bool = True,
 ) -> DataFrame:
     """Full C1 rho: candidates (conv_id, mention_id, entity, rho, log_pop)
     with rho ← a·rho_prior + b·Σ_w log(max(p̃(w|e)/p̂(w), 1)).
+
+    ``fused=False`` additionally returns the unfused coordinates
+    (``rho_prior``, ``ctx_evidence``) so weight learning can
+    differentiate the a/b mix (learning._pl_conv recombines them with
+    the candidate weights instead of consuming the baked sum).
 
     p̃(w|e) = max(freq − ξ, 0)/total_e  (absolute discounting, F9 —
     ScorerFull.scala:44-85; the max(·,1) inside the log mirrors the
@@ -134,12 +140,19 @@ def rho_with_context(
         .groupBy("mention_id", "entity")
         .agg(F.sum("evidence").alias("ctx_evidence"))
     )
-    return (
+    out = (
         candidates.join(scored, ["mention_id", "entity"], "left")
+        .withColumn("rho_prior", F.col("rho"))
+        .withColumn(
+            "ctx_evidence", F.coalesce(F.col("ctx_evidence"), F.lit(0.0))
+        )
         .withColumn(
             "rho",
-            F.lit(w.a) * F.col("rho")
-            + F.lit(w.b) * F.coalesce(F.col("ctx_evidence"), F.lit(0.0)),
+            F.lit(w.a) * F.col("rho_prior")
+            + F.lit(w.b) * F.col("ctx_evidence"),
         )
-        .select("conv_id", "mention_id", "entity", "rho", "log_pop")
     )
+    cols = ["conv_id", "mention_id", "entity", "rho", "log_pop"]
+    if not fused:
+        cols += ["rho_prior", "ctx_evidence"]
+    return out.select(*cols)

@@ -264,3 +264,54 @@ def test_pipeline_learn_weights_stage(spark, universe, tmp_path):
     assign = spark.read.parquet(f"{out}/s5_assignments_fit/data")
     acc = evaluate.linking_accuracy(assign, gold, m)
     assert acc["micro_accuracy"] >= 0.99, (acc, lw)
+
+
+def test_b_fit_end_to_end_on_synth_context(spark, universe):
+    """Full-corpus b-fit path: context stats built from the synth
+    transcripts (word_freq / word_entity_freq / context_windows), rho
+    kept unfused (rho_with_context(fused=False)), and learn_weights
+    moving all four coordinates — the b gradient flows from real
+    conversational context, not a hand-built tensor."""
+    from pboh_spark import context as ctxmod
+    from pboh_spark import stats, synth
+    from pboh_spark.normalize import extract_mentions, normalize_turns
+
+    transcripts, gold = synth.generate_transcripts(spark, 40, universe=universe)
+    anchors = synth.generate_anchors(spark, 800, universe=universe)
+    mentions = extract_mentions(transcripts).cache()
+    norm = normalize_turns(transcripts)
+    ns = stats.name_stats(anchors)
+    es = stats.entity_stats(anchors)
+    scalars = stats.corpus_scalars(anchors)
+    lam = stats.with_lambda_potential(stats.cooccurrence(anchors), es, scalars)
+    cand = resolve.mention_candidates(mentions, ns, es, top_k=10)
+    # context stats trained from the gold conversations themselves
+    mention_ctx = ctxmod.context_windows(norm, mentions)
+    gm = gold.select(
+        "conv_id", "turn_idx",
+        F.lower(F.col("surface")).alias("ngram"),
+        F.col("entity").alias("gold_entity"),
+    )
+    m_gold = mentions.join(gm, ["conv_id", "turn_idx", "ngram"]).select(
+        "mention_id", "gold_entity"
+    )
+    anchors_ctx = mention_ctx.join(m_gold, "mention_id").select(
+        F.col("gold_entity").alias("entity"), "word"
+    )
+    wef = ctxmod.word_entity_freq(anchors_ctx, min_freq=3)
+    wfreq = ctxmod.word_freq(norm, min_freq=5)
+    full = ctxmod.rho_with_context(cand, mention_ctx, wef, wfreq, fused=False)
+    cand_learn = full.select(
+        "conv_id", "mention_id", "entity",
+        F.col("rho_prior").alias("rho"), "log_pop", "ctx_evidence",
+    )
+    cg = learning.learning_candidates(cand_learn, mentions, gold)
+    cl = resolve.conv_lambda_pairs(
+        cand, lam, value_cols=("log_smoothed", "lp_sum")
+    )
+    w_fit, hist = learning.learn_weights(cg, cl, n_rounds=8)
+    mentions.unpersist()
+    assert hist[-1]["loss"] > hist[0]["loss"]
+    # the b coordinate actually moved off its prior (gradient flowed)
+    assert w_fit.b != ScorerWeights().b
+    assert 1e-8 <= w_fit.b <= 10.0
