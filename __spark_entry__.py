@@ -784,6 +784,23 @@ def dedup_jaccard_pairs(spark, sf_dir):
     ).select("doc_id_a", "doc_id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def dedup_jaccard_lsh(spark, sf_dir):
+    """The documented 100-TB Jaccard shape: exact n-gram Jaccard computed
+    ONLY over minhash-LSH candidate pairs (ngram_jaccard_pairs'
+    ``candidate_pairs`` input) — the quadratic shared-shingle blocking of
+    dedup_jaccard_pairs is replaced by the Σ bucket² LSH feed, then the
+    same aggregation-only Jaccard verifies each candidate exactly."""
+    from pboh_spark.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(
+        d, "text", k=3, n_hashes=_MH_N, n_bands=_MH_BANDS, seed=42
+    )
+    return ngram_jaccard_pairs(
+        d, "text", k=3, min_jaccard=0.5, candidate_pairs=cand
+    ).select("doc_id_a", "doc_id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def dedup_embedding_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs, EXACT mode (use_lsh=False,
     explicit): the quadratic all-pairs verification baseline that the
@@ -952,6 +969,50 @@ def pboh_resolve_lbp_sumprod(spark, sf_dir):
     marginal-belief resolution on the same seeded corpus — the judge can
     diff max-product vs sum-product assignments directly."""
     return _resolve_lbp(spark, max_product=False)
+
+
+def pboh_resolve_lbp_fitted(spark, sf_dir):
+    """The full learn→resolve loop as one verifiable artifact: {f,g,h,b}
+    re-fit on the seeded gold corpus (pboh_learn_weights' exact
+    procedure), stored-pair potentials re-evaluated at the FITTED h from
+    their affine columns (λ = log_smoothed − h·lp_sum — the same
+    consistency rule the pipeline's --learn-weights stage applies), then
+    max-product LBP under the fitted weights. Deterministic end-to-end
+    (fixed-point gradient merge + deterministic kernel) ⇒ golden oracle.
+    On this well-separated corpus the 12-round fit moves the weights
+    ~10% without flipping any assignment (verified: identical to
+    pboh_resolve_lbp) — the flip behavior on a corpus where the shipped
+    constants misrank is proven in tests/test_learning.py instead."""
+    from pboh_spark import learning, resolve, stats, synth
+    from pboh_spark.normalize import extract_mentions
+
+    uni = synth.EntityUniverse()
+    transcripts, gold = synth.generate_transcripts(spark, 40, universe=uni)
+    anchors = synth.generate_anchors(spark, 800, universe=uni)
+    mentions = extract_mentions(transcripts)
+    ns = stats.name_stats(anchors)
+    es = stats.entity_stats(anchors)
+    scalars = stats.corpus_scalars(anchors)
+    lam = stats.with_lambda_potential(stats.cooccurrence(anchors), es, scalars)
+    cand = resolve.mention_candidates(mentions, ns, es, top_k=10)
+    cand_gold = learning.learning_candidates(cand, mentions, gold)
+    conv_aff = resolve.conv_lambda_pairs(
+        cand, lam, value_cols=("log_smoothed", "lp_sum")
+    )
+    w_fit, _ = learning.learn_weights(
+        cand_gold, conv_aff, n_rounds=12, eta=1.0, reg=0.01,
+        lam_const=resolve.backoff_lam_const(scalars),
+    )
+    conv_lam = conv_aff.select(
+        "conv_id", "e1", "e2",
+        (
+            F.col("log_smoothed") - F.lit(w_fit.h) * F.col("lp_sum")
+        ).alias("lambda_potential"),
+    )
+    out = resolve.resolve_entities(
+        cand, conv_lam, weights=w_fit, max_product=True, scalars=scalars
+    )
+    return out.select("conv_id", "mention_id", "entity", "converged")
 
 
 def pboh_convergence_report(spark, sf_dir):
@@ -1150,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": dedup_minhash_sig,
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_jaccard_lsh": dedup_jaccard_lsh,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "dedup_embedding_lsh_pairs": dedup_embedding_lsh_pairs,
         "dedup_simhash": dedup_simhash,
@@ -1163,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "pboh_resolve_lbp": pboh_resolve_lbp,
         "pboh_resolve_lbp_sumprod": pboh_resolve_lbp_sumprod,
+        "pboh_resolve_lbp_fitted": pboh_resolve_lbp_fitted,
         "pboh_convergence_report": pboh_convergence_report,
         "pboh_e2e_clusters": pboh_e2e_clusters,
         "pboh_surface_clusters": pboh_surface_clusters,
@@ -1648,6 +1711,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(bitval * (1::BIGINT << bit))::BIGINT AS simhash
             FROM bits GROUP BY doc_id
         )
+    """
+    d_jac_lsh = f"""
+        WITH {_BANDS_SQL},
+        sizes AS (
+            SELECT doc_id, count(*)::BIGINT AS n_sh FROM shingles GROUP BY doc_id
+        ),
+        overlap AS (
+            SELECT p.doc_id_a, p.doc_id_b, count(*)::BIGINT AS inter
+            FROM lsh_pairs p
+            JOIN shingles a ON a.doc_id = p.doc_id_a
+            JOIN shingles b ON b.doc_id = p.doc_id_b
+                           AND a.shingle = b.shingle
+            GROUP BY 1, 2
+        )
+        SELECT doc_id_a, doc_id_b,
+               round(inter::DOUBLE / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+        FROM overlap
+        JOIN sizes na ON na.doc_id = doc_id_a
+        JOIN sizes nb ON nb.doc_id = doc_id_b
+        WHERE inter::DOUBLE / (na.n_sh + nb.n_sh - inter) >= 0.5
     """
     d_simhash = f"""
         WITH {_simhash_cte}
@@ -2199,6 +2282,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_sig": d_sig,
         "dedup_lsh_pairs": d_lsh,
         "dedup_jaccard_pairs": d_jac,
+        "dedup_jaccard_lsh": d_jac_lsh,
         "dedup_embedding_pairs": d_embed,
         "dedup_embedding_lsh_pairs": d_embed_lsh,
         "dedup_simhash": d_simhash,
