@@ -932,23 +932,67 @@ def ann_lsh_topk(spark, sf_dir):
 # synthetic-pipeline queries (rows-only: iterative LBP / full pipeline)
 # ---------------------------------------------------------------------------
 
+def _seeded_corpus(spark):
+    """Shared seeded inputs of every pboh_* golden query (40 convs, 800
+    anchor docs — ONE definition, so corpus size cannot silently drift
+    between the queries whose golden oracles certify each other):
+    (transcripts, gold, anchors, mentions, name_stats)."""
+    from pboh_spark import stats, synth
+    from pboh_spark.normalize import extract_mentions
+
+    uni = synth.EntityUniverse()
+    transcripts, gold = synth.generate_transcripts(spark, 40, universe=uni)
+    anchors = synth.generate_anchors(spark, 800, universe=uni)
+    mentions = extract_mentions(transcripts)
+    ns = stats.name_stats(anchors)
+    return transcripts, gold, anchors, mentions, ns
+
+
+def _seeded_resolve_inputs(spark):
+    """_seeded_corpus plus the resolution-side statistics and candidate
+    table: (gold, mentions, cand, lam, scalars) — the shared front half
+    of the LBP and weight-learning queries."""
+    from pboh_spark import resolve, stats
+
+    _, gold, anchors, mentions, ns = _seeded_corpus(spark)
+    es = stats.entity_stats(anchors)
+    scalars = stats.corpus_scalars(anchors)
+    lam = stats.with_lambda_potential(stats.cooccurrence(anchors), es, scalars)
+    cand = resolve.mention_candidates(mentions, ns, es, top_k=10)
+    return gold, mentions, cand, lam, scalars
+
+
+# the ONE fit configuration shared by pboh_learn_weights and
+# pboh_resolve_lbp_fitted — their golden oracles certify the same
+# procedure, so the hyperparameters must not be able to drift apart
+_FIT_KW = {"n_rounds": 12, "eta": 1.0, "reg": 0.01}
+
+
+def _seeded_fit(spark):
+    """Runs the shared weight fit; returns (fitted weights, history,
+    cand, conv-affine λ table, scalars)."""
+    from pboh_spark import learning, resolve
+
+    gold, mentions, cand, lam, scalars = _seeded_resolve_inputs(spark)
+    cand_gold = learning.learning_candidates(cand, mentions, gold)
+    conv_aff = resolve.conv_lambda_pairs(
+        cand, lam, value_cols=("log_smoothed", "lp_sum")
+    )
+    w_fit, hist = learning.learn_weights(
+        cand_gold, conv_aff,
+        lam_const=resolve.backoff_lam_const(scalars), **_FIT_KW,
+    )
+    return w_fit, hist, cand, conv_aff, scalars
+
+
 def _resolve_lbp(spark, max_product: bool, full: bool = False):
     """Shared body of the two LBP resolution queries: seeded corpus →
     stats → candidates → bounded message passing (C4-C8). ``full``
     returns every kernel column (n_iters/converged/score) for the
     telemetry rollup query."""
-    from pboh_spark import resolve, stats, synth
-    from pboh_spark.normalize import extract_mentions
+    from pboh_spark import resolve
 
-    uni = synth.EntityUniverse()
-    transcripts, _ = synth.generate_transcripts(spark, 40, universe=uni)
-    anchors = synth.generate_anchors(spark, 800, universe=uni)
-    mentions = extract_mentions(transcripts)
-    ns = stats.name_stats(anchors)
-    es = stats.entity_stats(anchors)
-    scalars = stats.corpus_scalars(anchors)
-    lam = stats.with_lambda_potential(stats.cooccurrence(anchors), es, scalars)
-    cand = resolve.mention_candidates(mentions, ns, es, top_k=10)
+    _, _, cand, lam, scalars = _seeded_resolve_inputs(spark)
     out = resolve.resolve_entities(
         cand, resolve.conv_lambda_pairs(cand, lam), max_product=max_product,
         scalars=scalars,
@@ -983,34 +1027,12 @@ def pboh_resolve_lbp_fitted(spark, sf_dir):
     ~10% without flipping any assignment (verified: identical to
     pboh_resolve_lbp) — the flip behavior on a corpus where the shipped
     constants misrank is proven in tests/test_learning.py instead."""
-    from pboh_spark import learning, resolve, stats, synth
-    from pboh_spark.normalize import extract_mentions
+    from pboh_spark import resolve
 
-    uni = synth.EntityUniverse()
-    transcripts, gold = synth.generate_transcripts(spark, 40, universe=uni)
-    anchors = synth.generate_anchors(spark, 800, universe=uni)
-    mentions = extract_mentions(transcripts)
-    ns = stats.name_stats(anchors)
-    es = stats.entity_stats(anchors)
-    scalars = stats.corpus_scalars(anchors)
-    lam = stats.with_lambda_potential(stats.cooccurrence(anchors), es, scalars)
-    cand = resolve.mention_candidates(mentions, ns, es, top_k=10)
-    cand_gold = learning.learning_candidates(cand, mentions, gold)
-    conv_aff = resolve.conv_lambda_pairs(
-        cand, lam, value_cols=("log_smoothed", "lp_sum")
-    )
-    w_fit, _ = learning.learn_weights(
-        cand_gold, conv_aff, n_rounds=12, eta=1.0, reg=0.01,
-        lam_const=resolve.backoff_lam_const(scalars),
-    )
-    conv_lam = conv_aff.select(
-        "conv_id", "e1", "e2",
-        (
-            F.col("log_smoothed") - F.lit(w_fit.h) * F.col("lp_sum")
-        ).alias("lambda_potential"),
-    )
+    w_fit, _, cand, conv_aff, scalars = _seeded_fit(spark)
     out = resolve.resolve_entities(
-        cand, conv_lam, weights=w_fit, max_product=True, scalars=scalars
+        cand, resolve.lambda_at_h(conv_aff, w_fit.h),
+        weights=w_fit, max_product=True, scalars=scalars,
     )
     return out.select("conv_id", "mention_id", "entity", "converged")
 
@@ -1036,15 +1058,10 @@ def pboh_convergence_report(spark, sf_dir):
 def pboh_e2e_clusters(spark, sf_dir):
     """Full blocking → pair scoring → threshold → connected-components
     pipeline on the synthetic corpus; returns the clusters table."""
-    from pboh_spark import blocking, cluster, stats, synth
+    from pboh_spark import blocking, cluster
     from pboh_spark import pairs as pairs_mod
-    from pboh_spark.normalize import extract_mentions
 
-    uni = synth.EntityUniverse()
-    transcripts, _ = synth.generate_transcripts(spark, 40, universe=uni)
-    anchors = synth.generate_anchors(spark, 800, universe=uni)
-    mentions = extract_mentions(transcripts)
-    ns = stats.name_stats(anchors)
+    _, _, _, mentions, ns = _seeded_corpus(spark)
     cb = blocking.candidate_blocks(mentions, ns, top_k=10)
     mh = blocking.minhash_blocks(mentions, ns, oov_only=True)
     salted, _ = blocking.salt_and_cap(cb.unionByName(mh), cap=512)
@@ -1061,16 +1078,11 @@ def pboh_e2e_clusters(spark, sf_dir):
 def pboh_surface_clusters(spark, sf_dir):
     """Surface-mode linkage (the 10^12-turn path, SCALE.md): distinct
     surfaces blocked/scored once, cluster labels expanded to instances."""
-    from pboh_spark import blocking, cluster, stats, synth
+    from pboh_spark import blocking, cluster
     from pboh_spark import pairs as pairs_mod
-    from pboh_spark.normalize import extract_mentions
 
-    uni = synth.EntityUniverse()
-    transcripts, _ = synth.generate_transcripts(spark, 40, universe=uni)
-    anchors = synth.generate_anchors(spark, 800, universe=uni)
-    mentions = extract_mentions(transcripts)
+    _, _, _, mentions, ns = _seeded_corpus(spark)
     nodes = pairs_mod.surface_nodes(mentions)
-    ns = stats.name_stats(anchors)
     cb = blocking.candidate_blocks(nodes, ns, top_k=10)
     mh = blocking.minhash_blocks(nodes, ns, oov_only=True)
     salted, _ = blocking.salt_and_cap(cb.unionByName(mh), cap=512)
@@ -1091,27 +1103,7 @@ def pboh_learn_weights(spark, sf_dir):
     Returns the per-round training history (loss, f, g, h) — bit-stable
     at any parallelism thanks to the fixed-point gradient merge, hence
     golden-oracle checkable."""
-    from pboh_spark import learning, resolve, stats, synth
-    from pboh_spark.normalize import extract_mentions
-
-    uni = synth.EntityUniverse()
-    transcripts, gold = synth.generate_transcripts(spark, 40, universe=uni)
-    anchors = synth.generate_anchors(spark, 800, universe=uni)
-    mentions = extract_mentions(transcripts)
-    ns = stats.name_stats(anchors)
-    es = stats.entity_stats(anchors)
-    scalars = stats.corpus_scalars(anchors)
-    lam = stats.with_lambda_potential(stats.cooccurrence(anchors), es, scalars)
-    cand = resolve.mention_candidates(mentions, ns, es, top_k=10)
-    cand_gold = learning.learning_candidates(cand, mentions, gold)
-    conv_lam = resolve.conv_lambda_pairs(
-        cand, lam, value_cols=("log_smoothed", "lp_sum")
-    )
-    lam_const = resolve.backoff_lam_const(scalars)
-    _, hist = learning.learn_weights(
-        cand_gold, conv_lam, n_rounds=12, eta=1.0, reg=0.01,
-        lam_const=lam_const,
-    )
+    _, hist, _, _, _ = _seeded_fit(spark)
     return spark.createDataFrame(
         [
             (
@@ -1130,15 +1122,10 @@ def pboh_threshold_grid(spark, sf_dir):
     """L5 hyperparameter grid search (FewParamsLearning.scala:146-207) as
     ONE distributed pass: every labeled pair explodes over the threshold
     grid, one groupBy aggregates P/R/F1 for all 17 thresholds at once."""
-    from pboh_spark import blocking, evaluate, stats, synth
+    from pboh_spark import blocking, evaluate
     from pboh_spark import pairs as pairs_mod
-    from pboh_spark.normalize import extract_mentions
 
-    uni = synth.EntityUniverse()
-    transcripts, gold = synth.generate_transcripts(spark, 40, universe=uni)
-    anchors = synth.generate_anchors(spark, 800, universe=uni)
-    mentions = extract_mentions(transcripts)
-    ns = stats.name_stats(anchors)
+    _, gold, _, mentions, ns = _seeded_corpus(spark)
     cb = blocking.candidate_blocks(mentions, ns, top_k=10)
     mh = blocking.minhash_blocks(mentions, ns, oov_only=True)
     blocked = cb.unionByName(mh)

@@ -315,8 +315,10 @@ def learn_weights(
     pr = np.array(priors if priors is not None else (w.f, w.g, w.h, w.b))
     cand_gold = cand_gold.persist()
     # checkpoint the (static) lambda table ONCE — per-round checkpointing
-    # would re-materialize the same table n_rounds+1 times
-    conv_lambdas = conv_lambdas.localCheckpoint(eager=False).persist()
+    # would re-materialize the same table n_rounds+1 times. localCheckpoint
+    # persists its blocks itself; layering .persist() on top would hold a
+    # second, columnar copy of the same data
+    conv_lambdas = conv_lambdas.localCheckpoint(eager=False)
     sq = np.zeros(4)
     history: list[dict] = []
     try:

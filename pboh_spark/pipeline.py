@@ -193,17 +193,14 @@ def run_pipeline(
                 conv_lam = resolve.conv_lambda_pairs(cand, lam)
             else:
                 # the fitted h must reach STORED pairs too, not just the
-                # kernel's backoff default — re-evaluate the affine
-                # λ(h) = log_smoothed − h·lp_sum at the learned h (the
-                # checkpointed lambda_potential was baked at the prior h)
-                conv_lam = resolve.conv_lambda_pairs(
-                    cand, lam, value_cols=("log_smoothed", "lp_sum")
-                ).select(
-                    "conv_id", "e1", "e2",
-                    (
-                        F.col("log_smoothed")
-                        - F.lit(weights.h) * F.col("lp_sum")
-                    ).alias("lambda_potential"),
+                # kernel's backoff default — re-evaluate from the affine
+                # coefficients at the learned h (the checkpointed
+                # lambda_potential was baked at the prior h)
+                conv_lam = resolve.lambda_at_h(
+                    resolve.conv_lambda_pairs(
+                        cand, lam, value_cols=("log_smoothed", "lp_sum")
+                    ),
+                    weights.h,
                 )
             return resolve.resolve_entities(
                 cand, conv_lam, weights=weights, max_product=True,

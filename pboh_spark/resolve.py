@@ -221,6 +221,27 @@ def _kernel(weights: ScorerWeights, max_product: bool, lam_const: float):
     return solve
 
 
+def lambda_at_h(conv_affine: DataFrame, h: float) -> DataFrame:
+    """Re-evaluate conversation-local potentials at a (re-fit) h weight
+    from the affine coefficients carried by
+    ``conv_lambda_pairs(..., value_cols=("log_smoothed", "lp_sum"))``:
+
+        λ(h) = log_smoothed − h·lp_sum
+
+    This is THE consistency rule between training and inference — the
+    same decomposition stats.with_lambda_potential emits and the
+    learning kernel differentiates. Fitted-weight inference must come
+    through here rather than reusing a lambda_potential baked at the
+    prior h (used by pipeline --learn-weights and the
+    pboh_resolve_lbp_fitted contract query)."""
+    return conv_affine.select(
+        "conv_id", "e1", "e2",
+        (
+            F.col("log_smoothed") - F.lit(h) * F.col("lp_sum")
+        ).alias("lambda_potential"),
+    )
+
+
 def backoff_lam_const(
     scalars: dict[str, int], w: ScorerWeights | None = None
 ) -> float:

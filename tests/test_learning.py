@@ -309,7 +309,10 @@ def test_b_fit_end_to_end_on_synth_context(spark, universe):
     cl = resolve.conv_lambda_pairs(
         cand, lam, value_cols=("log_smoothed", "lp_sum")
     )
-    w_fit, hist = learning.learn_weights(cg, cl, n_rounds=8)
+    w_fit, hist = learning.learn_weights(
+        cg, cl, n_rounds=8,
+        lam_const=resolve.backoff_lam_const(scalars),  # production backoff
+    )
     mentions.unpersist()
     assert hist[-1]["loss"] > hist[0]["loss"]
     # the b coordinate actually moved off its prior (gradient flowed)
