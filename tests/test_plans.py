@@ -87,6 +87,7 @@ def test_whole_stage_codegen_in_hot_paths(spark):
 
     qs = entrymod.queries()
     jvm = spark.sparkContext._jvm
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for name in ("rel_q1_pricing_summary", "stat_lambda_potential",
@@ -98,7 +99,7 @@ def test_whole_stage_codegen_in_hot_paths(spark):
             m = re.search(r"Found (\d+) WholeStageCodegen subtrees", s)
             assert m and int(m.group(1)) >= 1, (name, s[:80])
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
 
 
 def test_no_forced_broadcast_on_entity_stats(spark):
