@@ -194,7 +194,7 @@ def salt_and_cap(
     sizes = blocked.groupBy("block_key").agg(F.count("*").alias("block_size"))
     big = sizes.where(F.col("block_size") > cap)
     salted = (
-        blocked.join(F.broadcast(big), "block_key", "left")
+        blocked.join(big, "block_key", "left")
         .withColumn(
             "n_salt",
             F.when(

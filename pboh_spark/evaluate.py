@@ -267,7 +267,7 @@ def size_bucketed_f1(
     j = (
         labeled_pairs.join(la, "mention_id_a", "left")
         .join(lb, "mention_id_b", "left")
-        .join(F.broadcast(sized), "conv_id_a", "left")
+        .join(sized, "conv_id_a", "left")
         .withColumn(
             "pred",
             F.col("ca").isNotNull()

@@ -13,8 +13,9 @@ Reference parity (file:line in /root/reference/src/main/scala/):
   Z_x = Σ_{y'∈cands(x)} e^{log_factor(x,y')} — :387-500 (the max-shift
   underflow trick :448-460 is numpy logsumexp here).
 * AdaGrad accumulation eta/√(1+Σg²) + update — :819-846.
-* box projection g,f ∈ [0.001, 15] — loopybeliefpropagation/
-  ScorerWeights.scala:120-132 (h is not projected, matching :120-150).
+* box projection g,f ∈ [0.001, 15], b ∈ [1e-8, 10], and the h·g ≥ −15
+  guard (h = −15/g when violated) — loopybeliefpropagation/
+  ScorerWeights.scala:120-154.
 * distributed round merge — learning/Learning.scala:296-361: per-worker
   partial results reduced, then one driver-side update per round.
 
@@ -299,8 +300,8 @@ def learn_weights(
     over θ = (f, g, h, b). One Spark job per round (the distributed-SGD
     round/merge shape, Learning.scala:296-361); the AdaGrad state and
     box projection live on the driver (FewParamsLearning.scala:819-849,
-    ScorerWeights.scala:120-150: f,g clamped to [0.001, 15], b to
-    [1e-8, 10], h unprojected).
+    ScorerWeights.scala:120-154: f,g clamped to [0.001, 15], b to
+    [1e-8, 10], h bounded only by h·g ≥ −15).
 
     b (the context-evidence weight) only moves when ``cand_gold``
     carries a ``ctx_evidence`` column (with ``rho`` then being the
@@ -343,6 +344,8 @@ def learn_weights(
             f = min(max(f, 0.001), 15.0)   # ScorerWeights.scala:127-132
             gg = min(max(gg, 0.001), 15.0)  # :121-126
             b = min(max(b, 1e-8), 10.0)     # :146-150
+            if h * gg < -15.0:              # :152-154 — h's only bound
+                h = -15.0 / gg
             w = replace(w, f=float(f), g=float(gg), h=float(h), b=float(b))
     finally:
         cand_gold.unpersist()

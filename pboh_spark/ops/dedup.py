@@ -252,6 +252,7 @@ def embedding_neardup_pairs(
     n_bits: int = 8,
     n_tables: int = 6,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs:
     (id_a, id_b, cosine) with cosine ≥ ``threshold`` and id_a < id_b.
@@ -273,7 +274,11 @@ def embedding_neardup_pairs(
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if use_lsh:
-        dim = len(vectors.select(vec_col).first()[0])
+        if dim is None:
+            # Spark array columns carry no width in the schema, so sniffing
+            # costs a driver-side job; callers that know the embedding dim
+            # should pass it to keep the query single-job.
+            dim = len(vectors.select(vec_col).first()[0])
         sigs = hyperplane_signatures(
             vectors, dim, n_bits=n_bits, n_tables=n_tables, seed=seed,
             id_col=id_col, vec_col=vec_col,

@@ -309,6 +309,15 @@ def augment_containment(
     themselves get no augmentation (the reference returns null before
     merging, :23-26) — enforced by the inner join on name_stats totals.
 
+    Documented deviation from ``addEntity(c, 1)``: the reference ALSO
+    increments the stored frequency of entities the contained mention
+    already has and inflates the map's total_freq, which shifts EVERY
+    candidate's prior for that mention. Here existing candidates keep
+    their original rho (the left-anti drops the duplicates instead of
+    bumping them) and total_freq is not adjusted — only genuinely new
+    entities arrive, at prior ≈ 1/(total_freq+1). Post-augmentation
+    priors are therefore approximate (≈, not =) vs the reference.
+
     Cost at scale: the final prune is ONE extra hash partition of the
     candidate table on mention_id with ≤ k·(1+containers) rows per group
     (skew impossible — group key is the mention instance). Pruning only

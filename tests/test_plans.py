@@ -125,6 +125,26 @@ def test_no_forced_broadcast_on_entity_stats(spark):
     assert "ResolvedHint" not in analyzed
 
 
+def test_no_forced_broadcast_hints_in_library_source():
+    """Repo policy (stats.py: 'no broadcast hint; AQE decides'): a literal
+    F.broadcast() in the library is banned outside the declared
+    exceptions — ops/simsearch.py (bounded query-set / centroid sides of
+    the ANN paths, documented per call) and api.py (driver-side REPL
+    convenience on explicitly-small explain tables). Everything that
+    grows with the corpus must leave broadcast selection to AQE.
+    Source-level so the guard covers code paths no plan test builds."""
+    root = Path(__file__).resolve().parents[1] / "pboh_spark"
+    allowed = {"simsearch.py", "api.py"}
+    offenders = []
+    for py in root.rglob("*.py"):
+        if py.name in allowed:
+            continue
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if "F.broadcast(" in line.split("#", 1)[0]:
+                offenders.append(f"{py.name}:{i}")
+    assert not offenders, offenders
+
+
 def test_scoring_udf_is_arrow_batched(plans):
     """The Jaro-Winkler UDF must appear as an Arrow eval, never row-wise."""
     p = plans["link_pair_scoring"]
