@@ -911,7 +911,7 @@ def ann_ivf_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 20)
-    return ivf_topk(emb, q, k=10, n_cells=16, n_probe=4, seed=42).select(
+    return ivf_topk(emb, q, k=10, n_cells=16, n_probe=8, seed=42).select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
     )
 
@@ -1151,6 +1151,81 @@ def multimodal_features(spark, sf_dir):
     return extract_features(media).select("media_id", "kind", "n_bytes")
 
 
+def streaming_ingest_replay(spark, sf_dir):
+    """Streaming conformance surface (pboh_spark/streaming.py) under the
+    driver gate: transcript-shaped rows derived from ``documents`` are
+    written as a static parquet directory, drained through the REAL
+    incremental-ingest path — file-source ``readStream`` →
+    ``incremental_extract`` (foreachBatch, exactly-once batch_id=N
+    partition overwrite) with ``trigger(availableNow=True)`` — and the
+    landed mentions table is aggregated per surface form. The DuckDB
+    oracle recomputes the same per-ngram aggregate (including the exact
+    per-occurrence offsets) straight from ``documents``, so a value
+    mismatch catches both extraction bugs AND streamed-sink corruption
+    (lost/duplicated micro-batches).
+
+    The result is micro-batch-split invariant: the ingest is stateless
+    per row and batch_id is excluded from the aggregate, so HOW the
+    files split into batches cannot change the output — which is what
+    makes a streamed path oracle-checkable at all. Out/checkpoint dirs
+    are wiped per call so a stale checkpoint can never serve results
+    from an older code version."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pboh_spark import streaming
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = Path(tempfile.gettempdir()) / f"pboh_stream_replay_{tag}"
+    for sub in ("mentions", "ckpt"):
+        shutil.rmtree(base / sub, ignore_errors=True)
+    # documents.text is all-lowercase — capitalize every word longer than
+    # 4 chars (deterministic, mirrored in the oracle) so MENTION_RE finds
+    # real single- AND multi-word mentions in the streamed turns
+    cap = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda x: F.when(
+                F.length(x) > 4,
+                F.concat(
+                    F.upper(x.substr(F.lit(1), F.lit(1))),
+                    x.substr(F.lit(2), F.length(x)),
+                ),
+            ).otherwise(x),
+        ),
+        " ",
+    )
+    t = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        cap.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    t.repartition(4).write.mode("overwrite").parquet(str(base / "in"))
+    q = streaming.incremental_extract(
+        streaming.stream_transcripts(
+            spark, str(base / "in"), max_files_per_trigger=2
+        ),
+        str(base / "mentions"),
+        str(base / "ckpt"),
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(str(base / "mentions"))
+        .groupBy("ngram")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.sum("offset").alias("sum_offset"),
+            F.sum("length").alias("sum_len"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1164,11 +1239,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver correctness gate verifies the FIRST
     # 50 entries only (r3 finding — CORRECTNESS_r03.json had exactly 50 rows).
-    # Policy (SURVEY §8): driver-unverified-longest first, then everything
-    # else; new queries are appended at the END so previously-verified
-    # entries keep their gate position until rotated to the front.
+    # Policy (SURVEY §8): entries with NO driver row yet (brand-new queries
+    # and any that rotated out of a previous window) sort first; the stable
+    # driver-verified block follows, so whatever falls past position 50 is
+    # always something a prior round's gate already value-checked (and
+    # golden/pytest oracles still cover it).
     return {
-        # -- rotated to front for r4: no driver row in r03 (positions 51-56) --
+        # -- no driver row yet: r4-new queries + the 6 outside r03's window --
+        "streaming_ingest_replay": streaming_ingest_replay,
         "pboh_learn_weights": pboh_learn_weights,
         "pboh_convergence_report": pboh_convergence_report,
         "pboh_e2e_clusters": pboh_e2e_clusters,
@@ -1966,6 +2044,44 @@ def oracle_sql() -> dict[str, str]:
     gzip_roundtrip = """
         SELECT doc_id, md5(text) AS content_hash FROM documents
     """
+    # streamed-ingest replay: recompute extract_mentions' per-occurrence
+    # offsets (offset_k = Σ len(seg_1..k) + Σ len(m_1..k-1), segs = the
+    # regex-split complement of the matches) directly from documents —
+    # the streamed path must land exactly these rows
+    stream_replay = r"""
+        WITH capped AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(string_split(text, ' '),
+                       x -> CASE WHEN length(x) > 4
+                            THEN upper(substr(x, 1, 1)) || substr(x, 2)
+                            ELSE x END), ' ') AS text
+            FROM documents
+        ),
+        ex AS (
+            SELECT 'doc-' || doc_id::VARCHAR AS conv_id,
+                   regexp_extract_all(text,
+                       '[A-Z][a-z]*(?: [A-Z][a-z]*)*') AS ms,
+                   str_split_regex(text,
+                       '[A-Z][a-z]*(?: [A-Z][a-z]*)*') AS segs
+            FROM capped
+        ),
+        m AS (
+            SELECT conv_id,
+                   lower(ms[k]) AS ngram,
+                   length(array_to_string(segs[1:k], ''))
+                   -- ms[1:0] slices to NULL (not empty) in DuckDB
+                   + coalesce(length(array_to_string(ms[1:k - 1], '')), 0)
+                       AS off,
+                   length(ms[k]) AS len
+            FROM ex, UNNEST(range(1, len(ms) + 1)) AS t(k)
+        )
+        SELECT ngram,
+               count(*)::BIGINT AS n_mentions,
+               count(DISTINCT conv_id)::BIGINT AS n_convs,
+               sum(off)::BIGINT AS sum_offset,
+               sum(len)::BIGINT AS sum_len
+        FROM m GROUP BY ngram
+    """
     rho_context = """
         WITH turns AS (
             SELECT (doc_id % 50)::VARCHAR AS conv_id,
@@ -2102,7 +2218,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, row_number() OVER (
                     PARTITION BY query_id ORDER BY qcos DESC, cid ASC) AS r
                 FROM qprobe
-            ) WHERE r <= 4
+            ) WHERE r <= 8
         ),
         cand AS (
             SELECT p.query_id, co.neighbor_id,
@@ -2290,6 +2406,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": ann_lsh,
         "text_unescape_links": unescape_links,
         "scan_gzip_roundtrip": gzip_roundtrip,
+        "streaming_ingest_replay": stream_replay,
         "stat_rho_context": rho_context,
         # pboh_resolve_lbp / pboh_e2e_clusters / pboh_surface_clusters /
         # multimodal_features come from GOLDEN_SQL above (seeded golden-row

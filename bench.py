@@ -47,6 +47,12 @@ BENCH_QUERIES = [
     "text_quality",
     "text_fingerprint",
     "ann_cosine_topk",
+    # the PBOH compute core (r4): bounded max-product LBP resolution and
+    # the 12-round pseudolikelihood weight fit on the seeded corpus —
+    # timed every round so kernel regressions show up in BENCH deltas,
+    # not only in correctness
+    "pboh_resolve_lbp",
+    "pboh_learn_weights",
 ]
 
 
@@ -321,7 +327,7 @@ def main() -> None:
     cbf.count()
     ann_recall_clustered = {
         "ann_ivf_topk": round(
-            recall_at_k(ivf_topk(cemb, cq, k=10, n_cells=16, n_probe=4), cbf), 3
+            recall_at_k(ivf_topk(cemb, cq, k=10, n_cells=16, n_probe=8), cbf), 3
         ),
         "ann_lsh_topk": round(
             recall_at_k(lsh_topk(cemb, cq, dim=64, k=10), cbf), 3

@@ -219,7 +219,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 10,
     n_cells: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
