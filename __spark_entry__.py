@@ -985,6 +985,70 @@ def _seeded_fit(spark):
     return w_fit, hist, cand, conv_aff, scalars
 
 
+# the ONE per-parameter fit configuration shared by
+# pboh_learn_param_tables and pboh_resolve_lbp_params (same
+# no-drift rationale as _FIT_KW)
+_PFIT_KW = {"n_rounds": 3, "eta": 1.0, "reg": 0.1, "min_cocit": 4}
+
+
+def _seeded_param_fit(spark):
+    """Runs the shared per-parameter fit (L4's payload as DataFrames);
+    returns (rho_params, lambda_params, history, mentions, cand, lam,
+    scalars)."""
+    from pboh_spark import learning, param_learning, resolve
+
+    gold, mentions, cand, lam, scalars = _seeded_resolve_inputs(spark)
+    cand_gold = learning.learning_candidates(cand, mentions, gold)
+    rho_p, lam_p, hist = param_learning.learn_param_tables(
+        cand_gold, lam,
+        lam_const=resolve.backoff_lam_const(scalars), **_PFIT_KW,
+    )
+    return rho_p, lam_p, hist, mentions, cand, lam, scalars
+
+
+def pboh_learn_param_tables(spark, sf_dir):
+    """L4's PAYLOAD without its plumbing: per-(surface, entity) rho
+    parameters and per-frequent-pair (cocit ≥ 4, Learning.scala:148)
+    lambda parameters fit by distributed full-batch pseudolikelihood
+    ascent (Learning.scala:746-858 recast — pboh_spark/param_learning.py)
+    and stored as DataFrames, the Spark replacement for the reference's
+    memcached parameter server (utils/OptimizedRhosMap.scala:12-27,
+    utils/OptimizedLambdasMap.scala:14-21). Returns both parameter
+    tables as one row set; bit-deterministic at any parallelism
+    (fixed-point gradient merge), hence golden-oracle checkable."""
+    rho_p, lam_p, _, _, _, _, _ = _seeded_param_fit(spark)
+    r = rho_p.select(
+        F.lit("rho").alias("kind"), "ngram",
+        F.col("entity").alias("e1"), F.lit(0).cast("long").alias("e2"),
+        F.round("w0", 6).alias("w0"), F.round("w", 6).alias("w"),
+    )
+    l = lam_p.select(
+        F.lit("lam").alias("kind"), F.lit("").alias("ngram"),
+        "e1", "e2",
+        F.round("w0", 6).alias("w0"), F.round("w", 6).alias("w"),
+    )
+    return r.unionByName(l)
+
+
+def pboh_resolve_lbp_params(spark, sf_dir):
+    """Serving path of the per-parameter model
+    (ScorerFullLearnedParams.scala:38-54 as keyed left joins): the
+    learned rho/lambda tables from the shared fit override the
+    candidate priors and the pair-potential table, then the UNCHANGED
+    LBP kernel resolves — proving the parameter DataFrames join into
+    scoring end-to-end."""
+    from pboh_spark import param_learning, resolve
+
+    rho_p, lam_p, _, mentions, cand, lam, scalars = _seeded_param_fit(spark)
+    cand2 = param_learning.serve_candidates(cand, mentions, rho_p)
+    lam2 = param_learning.serve_lambda_table(lam, lam_p)
+    out = resolve.resolve_entities(
+        cand2, resolve.conv_lambda_pairs(cand2, lam2),
+        max_product=True, scalars=scalars,
+    )
+    return out.select("conv_id", "mention_id", "entity", "converged")
+
+
 def _resolve_lbp(spark, max_product: bool, full: bool = False):
     """Shared body of the two LBP resolution queries: seeded corpus →
     stats → candidates → bounded message passing (C4-C8). ``full``
@@ -1247,6 +1311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- no driver row yet: r4-new queries + the 6 outside r03's window --
         "streaming_ingest_replay": streaming_ingest_replay,
+        "pboh_learn_param_tables": pboh_learn_param_tables,
+        "pboh_resolve_lbp_params": pboh_resolve_lbp_params,
         "pboh_learn_weights": pboh_learn_weights,
         "pboh_convergence_report": pboh_convergence_report,
         "pboh_e2e_clusters": pboh_e2e_clusters,

@@ -282,9 +282,13 @@ def conv_lambda_pairs(
             F.col("b.entity").alias("e2"),
         )
     )
+    # explicit alias mints a FRESH conv_id attribute: the caller cogroups
+    # this output against the candidate table it was derived from, and a
+    # shared attribute id trips Spark's ambiguous-self-join analysis when
+    # the candidate lineage is shallow (e.g. a raw createDataFrame)
     return pairs.join(
         lambda_table.select("e1", "e2", *value_cols), ["e1", "e2"], "inner"
-    ).select("conv_id", "e1", "e2", *value_cols)
+    ).select(F.col("conv_id").alias("conv_id"), "e1", "e2", *value_cols)
 
 
 def augment_containment(

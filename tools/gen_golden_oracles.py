@@ -67,6 +67,14 @@ SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("n_mentions", "BIGINT"), ("avg_iters", "DOUBLE"),
         ("max_iters", "INT"), ("pct_converged", "DOUBLE"),
     ],
+    "pboh_learn_param_tables": [
+        ("kind", "VARCHAR"), ("ngram", "VARCHAR"), ("e1", "BIGINT"),
+        ("e2", "BIGINT"), ("w0", "DOUBLE"), ("w", "DOUBLE"),
+    ],
+    "pboh_resolve_lbp_params": [
+        ("conv_id", "VARCHAR"), ("mention_id", "BIGINT"),
+        ("entity", "BIGINT"), ("converged", "BOOLEAN"),
+    ],
 }
 
 _RUNNER = r"""
