@@ -1,0 +1,139 @@
+"""Public gold-dataset adapters — AIDA-CoNLL tab format.
+
+Reference parity: eval/datasets/AIDA.scala:12-103 (the same format also
+backs AQUAINT_MSNBC_ACE04.scala:12-97 and GERBIL_MSNBC.scala:13-83):
+* ``-DOCSTART- (docname)`` opens a document; the doc id is the text
+  between the parenthesis and the trailing ``)`` (:66-67).
+* a token line whose tab fields mark a mention BEGIN (``\\tB\\t`` and not
+  ``-NME-``, :73) carries: word, B/I, mention surface (field 2,
+  lowercased + trimmed, :75), YAGO2 id, Wikipedia URL (entity title
+  after the last ``/wiki/``, :76), numeric Wikipedia page id (field 5).
+* every other non-empty line contributes only its first field (the
+  word) to the document text (:94-96); ``I`` continuation lines are
+  deliberately NOT separate mentions.
+* testa/testb selection is a substring match on the doc name (:33).
+
+Standalone recast: the reference resolves the URL title through its
+Wikipedia redirect + name→id indexes and asserts the result equals
+field 5 (:77-82); this engine has no Wikipedia indexes, so the numeric
+gold id IS the entity id (the value those indexes must agree with) and
+the title string rides along for joining external redirect tables
+(redirects.resolve_redirects) when a user has one.
+
+Scale shape: one ``wholetext`` row per shard file (an AIDA dump is one
+file; a sharded directory parallelizes per file), documents split and
+exploded COLUMN-SIDE (split/posexplode/filter — no Python in the parse
+path), mention lines filtered and field-sliced with codegen'd
+expressions. Output shapes plug straight into the existing stack:
+``to_transcripts`` yields the input_hint turn schema for the full
+pipeline, ``aida_mentions``/``aida_gold`` feed
+evaluate.linking_accuracy and learning.learning_candidates as-is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_aida(
+    spark: SparkSession, path: str, split: str | None = None
+) -> DataFrame:
+    """Parse AIDA-CoNLL files under ``path`` into one row per document:
+    (doc_id, words array<string>, raw document chunk). ``split`` filters
+    doc ids by substring — 'testa' / 'testb' (AIDA.scala:33)."""
+    raw = spark.read.text(path, wholetext=True)
+    # a chunk per -DOCSTART-; the leading pre-DOCSTART chunk (if any) has
+    # no "(" header and is dropped by the doc_id guard below
+    chunk = F.posexplode(F.split(F.col("value"), r"-DOCSTART-"))
+    docs = (
+        raw.select(chunk.alias("pos", "chunk"))
+        .where(F.col("pos") > 0)
+        .select(
+            F.regexp_extract(
+                F.col("chunk"), r"^\s*\(([^)]*)\)", 1
+            ).alias("doc_id"),
+            F.split(F.col("chunk"), "\n").alias("lines"),
+        )
+        .where(F.col("doc_id") != "")
+    )
+    if split:
+        docs = docs.where(F.col("doc_id").contains(split))
+    # document words: first tab field of every non-empty body line
+    words = F.filter(
+        F.transform(
+            F.slice(F.col("lines"), 2, F.size("lines")),
+            lambda ln: F.element_at(F.split(ln, "\t"), 1),
+        ),
+        lambda w: (w.isNotNull()) & (w != ""),
+    )
+    return docs.select("doc_id", words.alias("words"), "lines")
+
+
+def aida_mentions_gold(
+    spark: SparkSession, path: str, split: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(mentions, gold) from AIDA files — the shapes the resolve /
+    evaluate / learning stack consumes:
+
+    mentions: (conv_id, turn_idx, mention_id, ngram, surface, pos)
+    gold:     (conv_id, turn_idx, surface, entity, entity_title)
+
+    One mention per BEGIN line (AIDA.scala:73-92), ordered by line
+    position; ``mention_id`` is the deterministic xxhash64 of
+    (doc, line position, surface) so ids are stable at any parallelism.
+    """
+    docs = load_aida(spark, path, split)
+    ln = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        F.posexplode("lines").alias("pos", "line"),
+    )
+    fields = F.split(F.col("line"), "\t")
+    m = (
+        ln.where(
+            F.col("line").contains("\tB\t")
+            & ~F.col("line").contains("-NME-")
+        )
+        .select(
+            "conv_id",
+            "pos",
+            F.trim(F.lower(F.element_at(fields, 3))).alias("ngram"),
+            F.element_at(fields, 5).alias("wiki_url"),
+            F.element_at(fields, 6).cast("long").alias("entity"),
+        )
+        .where((F.col("ngram") != "") & F.col("entity").isNotNull())
+    )
+    mentions = m.select(
+        "conv_id",
+        F.lit(0).alias("turn_idx"),
+        F.xxhash64("conv_id", "pos", "ngram").alias("mention_id"),
+        "ngram",
+        F.col("ngram").alias("surface"),
+        "pos",
+    )
+    gold = m.select(
+        "conv_id",
+        F.lit(0).alias("turn_idx"),
+        F.col("ngram").alias("surface"),
+        "entity",
+        F.regexp_extract(
+            F.col("wiki_url"), r"/wiki/([^/]*)$", 1
+        ).alias("entity_title"),
+    )
+    return mentions, gold
+
+
+def to_transcripts(docs: DataFrame) -> DataFrame:
+    """AIDA documents as input_hint transcript turns (conv_id, turn_idx,
+    role, text, tool, ts) — one turn per document, text = the
+    whitespace-joined token stream the reference rebuilds at
+    AIDA.scala:36 — so the standard ingest/stats/blocking stages run on
+    a public gold corpus unchanged."""
+    return docs.select(
+        F.col("doc_id").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("document").alias("role"),
+        F.array_join("words", " ").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )

@@ -1,0 +1,84 @@
+"""AIDA-CoNLL adapter (datasets.py) — round-trip on a committed fixture
+(tests/fixtures/aida_sample.txt, 3 docs / 2 splits / 7 mentions incl. a
+multi-word mention with an I-continuation line and an -NME- line) and
+the end-to-end hook into the evaluate stack.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pboh_spark import datasets, evaluate, resolve, stats
+
+FIXTURE = str(Path(__file__).resolve().parent / "fixtures" / "aida_sample.txt")
+
+
+def test_load_aida_documents(spark):
+    docs = datasets.load_aida(spark, FIXTURE).orderBy("doc_id").collect()
+    assert [d["doc_id"] for d in docs] == [
+        "1 testa Cricket", "2 testa Politics", "3 testb Football"
+    ]
+    # doc text = first tab field of every non-empty line (AIDA.scala:94-96)
+    assert docs[0]["words"] == [
+        "England", "beat", "Pakistan", "by", "an", "innings", "at",
+        "Lord", "'s", ".",
+    ]
+
+
+def test_split_filter_matches_reference_semantics(spark):
+    testa = datasets.load_aida(spark, FIXTURE, split="testa")
+    testb = datasets.load_aida(spark, FIXTURE, split="testb")
+    assert testa.count() == 2
+    assert testb.count() == 1
+
+
+def test_mentions_and_gold(spark):
+    mentions, gold = datasets.aida_mentions_gold(spark, FIXTURE)
+    g = {
+        (r["conv_id"], r["surface"]): (r["entity"], r["entity_title"])
+        for r in gold.collect()
+    }
+    # B-lines only: the I-continuation of "lord 's" must NOT duplicate,
+    # the -NME- line must NOT appear
+    assert len(g) == 8
+    assert g[("1 testa Cricket", "lord 's")] == (103, "Lord%27s")
+    assert g[("2 testa Politics", "new york")] == (104, "New_York")
+    assert g[("3 testb Football", "karachi")] == (105, "Karachi")
+    m = mentions.collect()
+    assert len(m) == 8
+    assert all(r["ngram"] == r["surface"] for r in m)
+    # deterministic ids, unique per occurrence
+    assert len({r["mention_id"] for r in m}) == 8
+
+
+def test_to_transcripts_schema(spark):
+    t = datasets.to_transcripts(datasets.load_aida(spark, FIXTURE))
+    assert [f.name for f in t.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ]
+    row = t.where(t.conv_id == "3 testb Football").collect()[0]
+    assert row["text"] == "Pakistan hosted England in Karachi ."
+
+
+def test_linking_accuracy_end_to_end_on_aida(spark):
+    """The VERDICT r3 #3 acceptance bar: an AIDA file feeds the existing
+    candidate/resolve/evaluate stack unchanged. Anchors are derived from
+    the gold itself (each doc 'links' its surfaces), so the prior is
+    perfect and micro accuracy must be 1.0 — any drop means a plumbing
+    bug in the adapter shapes."""
+    from pyspark.sql import functions as F
+
+    mentions, gold = datasets.aida_mentions_gold(spark, FIXTURE)
+    anchors = gold.select(
+        F.col("surface").alias("name"), "entity",
+        F.col("conv_id").alias("doc_id"),
+    )
+    ns = stats.name_stats(anchors)
+    cand = resolve.mention_candidates(mentions, ns, top_k=10)
+    assign = resolve.resolve_argmax(cand)
+    metrics = evaluate.linking_accuracy(assign, gold, mentions)
+    assert metrics["n_mentions"] == 8
+    assert metrics["micro_accuracy"] == 1.0
