@@ -38,6 +38,9 @@ def run_pipeline(
     surface_mode: bool = False,
     learn_gold: DataFrame | None = None,
     learn_rounds: int = 12,
+    learn_params: bool = False,
+    param_rounds: int = 3,
+    fit_weights: bool = True,
 ) -> dict:
     """Full run; returns metrics dict. All stages via StageCheckpointer —
     re-invoking with the same out_dir resumes after the last complete
@@ -54,7 +57,15 @@ def run_pipeline(
     AdaGrad (learning.learn_weights — the reference's validated
     constants were fit on Wikipedia; a transcript deployment re-fits on
     its own annotations) and the fitted weights drive the LBP stage. The
-    fit history checkpoints like any stage, so resume skips it."""
+    fit history checkpoints like any stage, so resume skips it.
+
+    ``learn_params`` additionally fits the PER-PARAMETER tables (L4's
+    payload — param_learning.py): per-(surface, entity) rho and
+    per-frequent-pair lambda corrections, checkpointed as one stage
+    (``s5_param_tables``, kind-tagged rows) and joined into the LBP
+    scoring exactly like the reference's OptimizedRhos/LambdasMap
+    (ScorerFullLearnedParams.scala:38-54). Resume reloads the tables
+    from parquet — no re-fit."""
     ck = StageCheckpointer(spark, out_dir)
     t0 = time.time()
     # surface-mode stages get distinct names — a mode switch on an
@@ -143,7 +154,7 @@ def run_pipeline(
             upstream=["s1_mentions", "s2_name_stats", "s2_entity_stats"],
         )
         weights = None
-        if learn_gold is not None:
+        if learn_gold is not None and fit_weights:
             from pboh_spark import learning
             from pboh_spark.stats import ScorerWeights
 
@@ -188,7 +199,94 @@ def run_pipeline(
                 "final_loss": float(last["loss"]),
             }
 
+        param_tables = None
+        if learn_params:
+            if learn_gold is None:
+                raise ValueError("learn_params requires learn_gold")
+            from pboh_spark import learning, param_learning
+            from pboh_spark.stats import ScorerWeights
+
+            def build_param_tables() -> DataFrame:
+                cg = learning.learning_candidates(cand, mentions, learn_gold)
+                rho_p, lam_p, hist = param_learning.learn_param_tables(
+                    cg, lam, weights=weights or ScorerWeights(),
+                    n_rounds=param_rounds,
+                    lam_const=resolve.backoff_lam_const(scalars),
+                )
+                # one kind-tagged table per stage: rho + lambda params AND
+                # the per-round loss history, so resume restores all three
+                r = rho_p.select(
+                    F.lit("rho").alias("kind"), "ngram",
+                    F.col("entity").alias("e1"),
+                    F.lit(None).cast("long").alias("e2"), "w0", "w", "sq",
+                )
+                l = lam_p.select(
+                    F.lit("lam").alias("kind"),
+                    F.lit(None).cast("string").alias("ngram"),
+                    "e1", "e2", "w0", "w", "sq",
+                )
+                h = spark.createDataFrame(
+                    [(x["round"], x["loss"]) for x in hist],
+                    "e1 long, w double",
+                ).select(
+                    F.lit("hist").alias("kind"),
+                    F.lit(None).cast("string").alias("ngram"),
+                    "e1", F.lit(None).cast("long").alias("e2"),
+                    F.lit(None).cast("double").alias("w0"), "w",
+                    F.lit(None).cast("double").alias("sq"),
+                )
+                return r.unionByName(l).unionByName(h)
+
+            pt = ck.run_stage(
+                "s5_param_tables",
+                build_param_tables,
+                upstream=["s5_candidates", "s2_lambda"]
+                + (["s5_weights"] if weights is not None else []),
+            )
+            param_tables = (
+                pt.where(F.col("kind") == "rho").select(
+                    "ngram", F.col("e1").alias("entity"), "w"
+                ),
+                pt.where(F.col("kind") == "lam").select("e1", "e2", "w"),
+            )
+            hist_rows = (
+                pt.where(F.col("kind") == "hist").orderBy("e1").collect()
+            )
+            metrics["param_tables"] = {
+                "n_rho": pt.where(F.col("kind") == "rho").count(),
+                "n_lambda": pt.where(F.col("kind") == "lam").count(),
+                "rounds": len(hist_rows),
+                "loss_history": [round(r["w"], 8) for r in hist_rows],
+            }
+
         def build_assignments() -> DataFrame:
+            if param_tables is not None:
+                from pboh_spark import param_learning
+
+                # base λ table at the serving h (fitted h re-evaluates the
+                # stored potentials from the affine columns), then the
+                # learned pair parameters override, then the learned rho
+                # parameters override the candidate priors
+                base_tbl = lam
+                if weights is not None:
+                    base_tbl = lam.withColumn(
+                        "lambda_potential",
+                        F.col("log_smoothed")
+                        - F.lit(weights.h) * F.col("lp_sum"),
+                    )
+                c2 = param_learning.serve_candidates(
+                    cand, mentions, param_tables[0]
+                )
+                return resolve.resolve_entities(
+                    c2,
+                    resolve.conv_lambda_pairs(
+                        c2,
+                        param_learning.serve_lambda_table(
+                            base_tbl, param_tables[1]
+                        ),
+                    ),
+                    weights=weights, max_product=True, scalars=scalars,
+                )
             if weights is None:
                 conv_lam = resolve.conv_lambda_pairs(cand, lam)
             else:
@@ -212,9 +310,11 @@ def run_pipeline(
         # out_dir must rebuild, never silently reuse the other mode's LBP
         # output — and the weight stage is an explicit upstream
         assign_name = "s5_assignments" if weights is None else "s5_assignments_fit"
+        if param_tables is not None:
+            assign_name += "_params"
         assign_upstream = ["s5_candidates", "s2_lambda"] + (
             ["s5_weights"] if weights is not None else []
-        )
+        ) + (["s5_param_tables"] if param_tables is not None else [])
         ck.run_stage(
             assign_name,
             build_assignments,
@@ -281,6 +381,11 @@ def main() -> None:
              "when --input is omitted; requires gold for custom inputs)",
     )
     ap.add_argument(
+        "--learn-params", action="store_true",
+        help="additionally fit per-(surface,entity) rho and per-pair "
+             "lambda parameter tables (L4 payload) and serve them in LBP",
+    )
+    ap.add_argument(
         "--surface-mode", action="store_true",
         help="link distinct surfaces, expand labels to instances (the "
              "web-scale path; see SCALE.md)",
@@ -315,13 +420,15 @@ def main() -> None:
         if args.anchors
         else synth.generate_anchors(spark, max(args.n_conversations * 2, 4000), universe=uni)
     )
-    if args.learn_weights and gold is None:
-        ap.error("--learn-weights needs gold annotations (omit --input "
-                 "to use the synthetic gold corpus)")
+    if (args.learn_weights or args.learn_params) and gold is None:
+        ap.error("--learn-weights/--learn-params need gold annotations "
+                 "(omit --input to use the synthetic gold corpus)")
     metrics = run_pipeline(
         spark, transcripts, anchors, args.out, args.threshold,
         surface_mode=args.surface_mode,
-        learn_gold=gold if args.learn_weights else None,
+        learn_gold=gold if (args.learn_weights or args.learn_params) else None,
+        learn_params=args.learn_params,
+        fit_weights=args.learn_weights,
     )
 
     if args.evaluate and gold is not None:

@@ -65,6 +65,38 @@ def test_resume_skips_completed_stages(spark, e2e, universe):
     assert before == after
 
 
+def test_learn_params_stage_checkpoints_and_serves(spark, universe, tmp_path_factory):
+    """--learn-params: the per-parameter tables checkpoint as a
+    kind-tagged stage, the LBP stage serves them under its own stage
+    name, and linking accuracy stays at the gate (the planted-corpus
+    usefulness proof lives in test_param_learning; here we prove the
+    PIPELINE plumbing: fit → checkpoint → join into scoring → resume)."""
+    out = str(tmp_path_factory.mktemp("ckp"))
+    transcripts, gold = synth.generate_transcripts(spark, 120, universe=universe)
+    anchors = synth.generate_anchors(spark, 2000, universe=universe)
+    metrics = run_pipeline(
+        spark, transcripts, anchors, out,
+        learn_gold=gold, learn_params=True, fit_weights=False,
+        param_rounds=2,
+    )
+    pt = metrics["param_tables"]
+    assert pt["n_rho"] > 0 and pt["n_lambda"] > 0
+    assert len(pt["loss_history"]) == 2
+    assert Path(out, "s5_param_tables", "data").exists()
+    assert Path(out, "s5_assignments_params", "data").exists()
+    m = spark.read.parquet(f"{out}/s1_mentions/data")
+    assign = spark.read.parquet(f"{out}/s5_assignments_params/data")
+    acc = evaluate.linking_accuracy(assign, gold, m)
+    assert acc["micro_accuracy"] >= 0.99, acc
+    # resume restores the tables without re-fitting (loss history equal)
+    m2 = run_pipeline(
+        spark, transcripts, anchors, out,
+        learn_gold=gold, learn_params=True, fit_weights=False,
+        param_rounds=2,
+    )
+    assert m2["param_tables"]["loss_history"] == pt["loss_history"]
+
+
 def test_per_partition_lineage_recorded(e2e):
     out, *_ = e2e
     m = json.loads(Path(out, "s4_pairs", "metrics.json").read_text())
