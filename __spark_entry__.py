@@ -1215,6 +1215,36 @@ def multimodal_features(spark, sf_dir):
     return extract_features(media).select("media_id", "kind", "n_bytes")
 
 
+def link_stem_trigram(spark, sf_dir):
+    """F4 Porter stemming + the F6 trigram-similarity variant, exact
+    reference semantics (context/PorterStemmer.scala:12-97 incl. its
+    documented deviations from canonical Porter;
+    index/MentionEntitiesFrequencyIndex.scala:79-116): the seeded
+    corpus' distinct mention surfaces are lex-sorted, each paired with
+    its dictionary neighbor (the J6 nearest-key shape), and scored by
+    trigram Jaccard over the stemmed strings with the reference's
+    ``$$$ab``/``yz###`` boundary trigrams. Arrow-batched UDFs; seeded
+    input ⇒ golden-oracle checkable."""
+    from pyspark.sql import Window
+
+    from pboh_spark.stem import stem_trigram_sim_udf, stem_udf
+
+    _, _, _, mentions, _ = _seeded_corpus(spark)
+    names = mentions.select("ngram").distinct()
+    w = Window.orderBy("ngram")
+    pairs = names.select(
+        "ngram", F.lead("ngram", 1).over(w).alias("next_ngram")
+    ).where(F.col("next_ngram").isNotNull())
+    return pairs.select(
+        "ngram",
+        "next_ngram",
+        stem_udf()(F.col("ngram")).alias("stem"),
+        F.round(
+            stem_trigram_sim_udf()(F.col("ngram"), F.col("next_ngram")), 6
+        ).alias("sim"),
+    )
+
+
 def streaming_ingest_replay(spark, sf_dir):
     """Streaming conformance surface (pboh_spark/streaming.py) under the
     driver gate: transcript-shaped rows derived from ``documents`` are
@@ -1311,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- no driver row yet: r4-new queries + the 6 outside r03's window --
         "streaming_ingest_replay": streaming_ingest_replay,
+        "link_stem_trigram": link_stem_trigram,
         "pboh_learn_param_tables": pboh_learn_param_tables,
         "pboh_resolve_lbp_params": pboh_resolve_lbp_params,
         "pboh_learn_weights": pboh_learn_weights,

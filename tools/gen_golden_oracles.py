@@ -75,6 +75,10 @@ SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("conv_id", "VARCHAR"), ("mention_id", "BIGINT"),
         ("entity", "BIGINT"), ("converged", "BOOLEAN"),
     ],
+    "link_stem_trigram": [
+        ("ngram", "VARCHAR"), ("next_ngram", "VARCHAR"),
+        ("stem", "VARCHAR"), ("sim", "DOUBLE"),
+    ],
 }
 
 _RUNNER = r"""
