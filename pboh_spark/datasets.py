@@ -123,6 +123,176 @@ def aida_mentions_gold(
     return mentions, gold
 
 
+def load_xml_gold(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """AQUAINT / MSNBC / ACE04 mentions-XML adapter —
+    eval/datasets/AQUAINT_MSNBC_ACE04.scala:23-97: one XML file per
+    dataset with ``<document docName="...">`` sections holding
+    ``<annotation>`` blocks of ``<mention>`` + ``<wikiName>``;
+    ``&amp;`` unescapes to ``&`` (:48), mentions lowercase + trim
+    (:68), NIL / empty wikiName annotations are dropped (:71-72).
+
+    Standalone recast: the reference resolves wikiName through its
+    Wikipedia name→id index; without one, the entity id is the
+    deterministic xxhash64 of the wikiName (stable across runs and
+    datasets — two docs linking the same title agree), and
+    ``entity_title`` carries the name for joining a real index or
+    redirect table later.
+
+    Returns (mentions, gold) in the stack's shapes; mention order
+    within a document follows annotation order.
+    """
+    raw = spark.read.text(path, wholetext=True).select(
+        F.regexp_replace("value", "&amp;", "&").alias("value")
+    )
+    doc = F.posexplode(F.split(F.col("value"), r"<document docName="))
+    docs = (
+        raw.select(doc.alias("p", "chunk"))
+        .where(F.col("p") > 0)
+        .select(
+            F.regexp_extract(F.col("chunk"), r'^"([^"]*)"', 1).alias(
+                "conv_id"
+            ),
+            F.col("chunk"),
+        )
+        .where(F.col("conv_id") != "")
+    )
+    ann = F.posexplode(
+        F.expr(
+            r"regexp_extract_all(chunk, '(?s)<annotation>(.*?)</annotation>', 1)"
+        )
+    )
+    m = (
+        docs.select("conv_id", ann.alias("pos", "a"))
+        .select(
+            "conv_id",
+            "pos",
+            F.trim(
+                F.lower(
+                    F.regexp_extract(
+                        F.col("a"), r"(?s)<mention>(.*?)</mention>", 1
+                    )
+                )
+            ).alias("ngram"),
+            F.regexp_extract(
+                F.col("a"), r"(?s)<wikiName>(.*?)</wikiName>", 1
+            ).alias("entity_title"),
+        )
+        .where(
+            (F.col("ngram") != "")
+            & (F.col("entity_title") != "")
+            & (F.col("entity_title") != "NIL")
+        )
+        .withColumn("entity", F.xxhash64("entity_title"))
+    )
+    mentions = m.select(
+        "conv_id",
+        F.lit(0).alias("turn_idx"),
+        F.xxhash64("conv_id", "pos", "ngram").alias("mention_id"),
+        "ngram",
+        F.col("ngram").alias("surface"),
+        "pos",
+    )
+    gold = m.select(
+        "conv_id",
+        F.lit(0).alias("turn_idx"),
+        F.col("ngram").alias("surface"),
+        "entity",
+        "entity_title",
+    )
+    return mentions, gold
+
+
+def load_gerbil_gold(
+    spark: SparkSession, problems_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """GERBIL-MSNBC adapter — eval/datasets/GERBIL_MSNBC.scala:15-83:
+    one ``Problems/<doc>.txt`` file per document, with
+    ``<ReferenceInstance>`` blocks whose tag lines are each followed by
+    the VALUE ON THE NEXT LINE (``<Offset>``, ``<SurfaceForm>``,
+    ``<Annotation>`` — :60-70); ``&amp;`` → ``&``; NIL / empty
+    annotations dropped (:50). Doc id = source file name. Entity ids
+    hash from the annotation string exactly like load_xml_gold.
+
+    Returns (mentions, gold); mentions carry the declared char
+    ``offset`` into the raw text (the reference keeps it for the
+    commented-out consistency assert, :62-64)."""
+    raw = (
+        spark.read.text(f"{problems_dir}/*.txt", wholetext=True)
+        .select(
+            F.regexp_replace("value", "&amp;", "&").alias("value"),
+            F.element_at(
+                F.split(F.input_file_name(), "/"), -1
+            ).alias("conv_id"),
+        )
+    )
+    block = F.posexplode(
+        F.expr(
+            "regexp_extract_all(value, "
+            "'(?s)<ReferenceInstance>(.*?)</ReferenceInstance>', 1)"
+        )
+    )
+    nextline = lambda tag: F.regexp_extract(  # noqa: E731
+        F.col("b"), rf"(?s)<{tag}>[^\n]*\n([^\n]*)", 1
+    )
+    m = (
+        raw.select("conv_id", block.alias("pos", "b"))
+        .select(
+            "conv_id",
+            "pos",
+            F.trim(F.lower(nextline("SurfaceForm"))).alias("ngram"),
+            F.trim(nextline("Offset")).cast("int").alias("offset"),
+            F.trim(nextline("Annotation")).alias("entity_title"),
+        )
+        .where(
+            (F.col("ngram") != "")
+            & (F.col("entity_title") != "")
+            & (F.col("entity_title") != "NIL")
+        )
+        .withColumn("entity", F.xxhash64("entity_title"))
+    )
+    mentions = m.select(
+        "conv_id",
+        F.lit(0).alias("turn_idx"),
+        F.xxhash64("conv_id", "pos", "ngram").alias("mention_id"),
+        "ngram",
+        F.col("ngram").alias("surface"),
+        "pos",
+        "offset",
+    )
+    gold = m.select(
+        "conv_id",
+        F.lit(0).alias("turn_idx"),
+        F.col("ngram").alias("surface"),
+        "entity",
+        "entity_title",
+    )
+    return mentions, gold
+
+
+def load_raw_texts(spark: SparkSession, raw_dir: str) -> DataFrame:
+    """RawTexts/ context directory → input_hint transcript turns, one
+    per file (AQUAINT_MSNBC_ACE04.scala:54 / GERBIL_MSNBC.scala:36-37:
+    lines joined by a single space; the GERBIL variant's ’→' char
+    replacement applied unconditionally — harmless for the others)."""
+    return (
+        spark.read.text(f"{raw_dir}/*", wholetext=True)
+        .select(
+            F.element_at(
+                F.split(F.input_file_name(), "/"), -1
+            ).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit("document").alias("role"),
+            F.translate(
+                F.regexp_replace("value", "\n", " "), "’", "'"
+            ).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+
+
 def to_transcripts(docs: DataFrame) -> DataFrame:
     """AIDA documents as input_hint transcript turns (conv_id, turn_idx,
     role, text, tool, ts) — one turn per document, text = the
