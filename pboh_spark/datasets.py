@@ -307,3 +307,92 @@ def to_transcripts(docs: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"),
     )
+
+
+def evaluate_gold_dataset(
+    spark: SparkSession,
+    mentions: DataFrame,
+    gold: DataFrame,
+    anchors: DataFrame | None = None,
+    top_k: int = 10,
+    lbp: bool = True,
+) -> dict:
+    """eval/EvalOnDatasets.scala:150-205 recast: run ARGMAX and LBP
+    side-by-side on a loaded gold set and report micro accuracy for
+    both. Without an external anchor corpus the p̂(e|m) index is built
+    from the gold annotations themselves (self-anchored mode — an upper
+    bound / plumbing check; pass a real ``anchors`` table (name, entity,
+    doc_id) for an honest evaluation)."""
+    from pboh_spark import evaluate, resolve, stats
+
+    if anchors is None:
+        anchors = gold.select(
+            F.col("surface").alias("name"), "entity",
+            F.col("conv_id").alias("doc_id"),
+        )
+    ns = stats.name_stats(anchors)
+    es = stats.entity_stats(anchors)
+    scalars = stats.corpus_scalars(anchors)
+    cand = resolve.mention_candidates(mentions, ns, es, top_k=top_k)
+    out = {
+        "n_gold_mentions": gold.count(),
+        "argmax": evaluate.linking_accuracy(
+            resolve.resolve_argmax(cand), gold, mentions
+        ),
+    }
+    if lbp:
+        lam = stats.with_lambda_potential(
+            stats.cooccurrence(anchors), es, scalars
+        )
+        assign = resolve.resolve_entities(
+            cand, resolve.conv_lambda_pairs(cand, lam), scalars=scalars
+        )
+        out["lbp"] = evaluate.linking_accuracy(assign, gold, mentions)
+    return out
+
+
+def _main() -> None:
+    """CLI: evaluate a public gold set end-to-end —
+    ``python -m pboh_spark.datasets --format aida --path f [--split
+    testa] [--anchors parquet] [--no-lbp]``. Prints one metrics JSON."""
+    import argparse
+    import json
+
+    from pboh_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="gold-dataset evaluation")
+    ap.add_argument("--format", choices=["aida", "xml", "gerbil"],
+                    required=True)
+    ap.add_argument("--path", required=True,
+                    help="AIDA file/dir, mentions XML, or GERBIL Problems/ dir")
+    ap.add_argument("--split", default=None,
+                    help="AIDA doc-name substring filter (testa/testb)")
+    ap.add_argument("--anchors", default=None,
+                    help="anchor parquet (name, entity, doc_id); "
+                         "default: self-anchored from gold")
+    ap.add_argument("--top-k", type=int, default=10)
+    ap.add_argument("--no-lbp", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(cores=args.cores, app_name="pboh_gold_eval")
+    if args.format == "aida":
+        mentions, gold = aida_mentions_gold(spark, args.path, args.split)
+    elif args.format == "xml":
+        mentions, gold = load_xml_gold(spark, args.path)
+    else:
+        mentions, gold = load_gerbil_gold(spark, args.path)
+    anchors = (
+        spark.read.parquet(args.anchors) if args.anchors else None
+    )
+    metrics = evaluate_gold_dataset(
+        spark, mentions, gold, anchors, top_k=args.top_k,
+        lbp=not args.no_lbp,
+    )
+    metrics["format"] = args.format
+    metrics["self_anchored"] = args.anchors is None
+    print(json.dumps(metrics, indent=1))
+
+
+if __name__ == "__main__":
+    _main()

@@ -183,6 +183,25 @@ def stem_udf():
     return _stem
 
 
+def stem_tokens_udf():
+    """Arrow-batched array<string>→array<string> per-token Porter stem —
+    the TextSplittingInWords.scala:39 hook (the reference stems every
+    context word before the word-frequency dictionary lookup). Compose
+    in front of context.word_freq / context_windows for stemmed context
+    statistics: ``df.withColumn("tokens", stem_tokens_udf()("tokens"))``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _stem_arr(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda arr: None
+            if arr is None
+            else [porter_stem(x) for x in arr]
+        )
+
+    return _stem_arr
+
+
 def stem_trigram_sim_udf():
     """Arrow-batched (string, string)→double stemmed-trigram similarity."""
     from pyspark.sql.functions import pandas_udf

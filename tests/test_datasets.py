@@ -142,6 +142,16 @@ def test_xml_gold_end_to_end_accuracy(spark):
     assert metrics["micro_accuracy"] == 1.0
 
 
+def test_evaluate_gold_dataset_argmax_and_lbp(spark):
+    """EvalOnDatasets recast: both resolvers side-by-side on a loaded
+    gold set (self-anchored ⇒ both must be perfect on the fixture)."""
+    mentions, gold = datasets.aida_mentions_gold(spark, FIXTURE)
+    m = datasets.evaluate_gold_dataset(spark, mentions, gold, lbp=True)
+    assert m["argmax"]["micro_accuracy"] == 1.0
+    assert m["lbp"]["micro_accuracy"] == 1.0
+    assert m["n_gold_mentions"] == 8
+
+
 def test_linking_accuracy_end_to_end_on_aida(spark):
     """The VERDICT r3 #3 acceptance bar: an AIDA file feeds the existing
     candidate/resolve/evaluate stack unchanged. Anchors are derived from

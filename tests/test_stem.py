@@ -79,6 +79,24 @@ def test_trigram_similarity_is_jaccard():
     assert abs(stem_trigram_similarity("cat", "cart") - 1 / 6) < 1e-12
 
 
+def test_stem_tokens_array_udf(spark):
+    """The TextSplittingInWords:39 hook: per-token stemming of a tokens
+    array column, composable in front of context.word_freq."""
+    from pyspark.sql import functions as F
+
+    from pboh_spark.stem import stem_tokens_udf
+
+    df = spark.createDataFrame(
+        [(["falling", "ponies", "cats"],), (None,)], "tokens array<string>"
+    )
+    rows = df.select(
+        stem_tokens_udf()(F.col("tokens")).alias("t")
+    ).collect()
+    got = [r["t"] for r in rows]
+    assert ["fall", "poni", "cat"] in got
+    assert None in got
+
+
 def test_udfs_are_arrow_batched(spark):
     from pyspark.sql import functions as F
 
