@@ -36,13 +36,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _title_entity_id(col: str) -> "F.Column":
+    """Deterministic entity id from a title string for the formats that
+    carry no numeric id: xxhash64 folded into [0, 2^31) — the LBP
+    kernel packs entity PAIRS into one int64 (resolve._pack, mirroring
+    utils/Utils.scala:37-43) and rejects ids ≥ 2^32, and negative ids
+    would sign-extend through the packing. 2^31 keeps a full bit of
+    headroom; collision odds at gold-set scale (10^4-10^5 titles) are
+    ~n²/2^32 ≈ 10^-2 per dataset worst case and any collision is
+    deterministic + detectable via the entity_title column."""
+    return F.pmod(F.xxhash64(col), F.lit(1 << 31)).cast("long")
+
+
+def _unix_lines(col) -> "F.Column":
+    """CRLF → LF once per file: a Windows-saved gold dump otherwise
+    leaves '\\r' on every parsed field — numeric casts turn NULL and the
+    NULL-filters silently drop EVERY mention."""
+    return F.regexp_replace(col, "\r\n", "\n")
+
+
 def load_aida(
     spark: SparkSession, path: str, split: str | None = None
 ) -> DataFrame:
     """Parse AIDA-CoNLL files under ``path`` into one row per document:
     (doc_id, words array<string>, raw document chunk). ``split`` filters
     doc ids by substring — 'testa' / 'testb' (AIDA.scala:33)."""
-    raw = spark.read.text(path, wholetext=True)
+    raw = spark.read.text(path, wholetext=True).select(
+        _unix_lines(F.col("value")).alias("value")
+    )
     # a chunk per -DOCSTART-; the leading pre-DOCSTART chunk (if any) has
     # no "(" header and is dropped by the doc_id guard below
     chunk = F.posexplode(F.split(F.col("value"), r"-DOCSTART-"))
@@ -135,8 +156,10 @@ def load_xml_gold(
 
     Standalone recast: the reference resolves wikiName through its
     Wikipedia name→id index; without one, the entity id is the
-    deterministic xxhash64 of the wikiName (stable across runs and
-    datasets — two docs linking the same title agree), and
+    deterministic xxhash64 of the wikiName folded into [0, 2^31)
+    (``_title_entity_id`` — the LBP pair-packing needs 32-bit
+    non-negative ids; stable across runs and datasets, so two docs
+    linking the same title agree), and
     ``entity_title`` carries the name for joining a real index or
     redirect table later.
 
@@ -144,7 +167,9 @@ def load_xml_gold(
     within a document follows annotation order.
     """
     raw = spark.read.text(path, wholetext=True).select(
-        F.regexp_replace("value", "&amp;", "&").alias("value")
+        F.regexp_replace(_unix_lines(F.col("value")), "&amp;", "&").alias(
+            "value"
+        )
     )
     doc = F.posexplode(F.split(F.col("value"), r"<document docName="))
     docs = (
@@ -184,7 +209,7 @@ def load_xml_gold(
             & (F.col("entity_title") != "")
             & (F.col("entity_title") != "NIL")
         )
-        .withColumn("entity", F.xxhash64("entity_title"))
+        .withColumn("entity", _title_entity_id("entity_title"))
     )
     mentions = m.select(
         "conv_id",
@@ -221,7 +246,9 @@ def load_gerbil_gold(
     raw = (
         spark.read.text(f"{problems_dir}/*.txt", wholetext=True)
         .select(
-            F.regexp_replace("value", "&amp;", "&").alias("value"),
+            F.regexp_replace(_unix_lines(F.col("value")), "&amp;", "&").alias(
+                "value"
+            ),
             F.element_at(
                 F.split(F.input_file_name(), "/"), -1
             ).alias("conv_id"),
@@ -250,7 +277,7 @@ def load_gerbil_gold(
             & (F.col("entity_title") != "")
             & (F.col("entity_title") != "NIL")
         )
-        .withColumn("entity", F.xxhash64("entity_title"))
+        .withColumn("entity", _title_entity_id("entity_title"))
     )
     mentions = m.select(
         "conv_id",

@@ -221,12 +221,24 @@ def linking_accuracy(
     assignments: DataFrame, gold_mentions: DataFrame, mentions: DataFrame
 ) -> dict[str, float]:
     """Micro accuracy of entity assignments vs gold — the reference's
-    headline metric (GlobalStats.scala:236-248), for the LBP/ARGMAX path."""
-    gm = gold_mentions.select(
-        "conv_id",
-        "turn_idx",
-        F.lower(F.col("surface")).alias("ngram"),
-        F.col("entity").alias("gold_entity"),
+    headline metric (GlobalStats.scala:236-248), for the LBP/ARGMAX path.
+
+    Gold is deduplicated to one label per (conv, turn, surface) — min
+    entity, the same convention as learning.learning_candidates — BEFORE
+    the mention join: per-occurrence gold tables (the dataset adapters
+    emit one row per annotation) would otherwise fan k same-surface
+    occurrences into k×k counted rows, weighting repeated surfaces
+    quadratically and double-counting a surface annotated with two
+    different entities."""
+    gm = (
+        gold_mentions.select(
+            "conv_id",
+            "turn_idx",
+            F.lower(F.col("surface")).alias("ngram"),
+            F.col("entity").alias("gold_entity"),
+        )
+        .groupBy("conv_id", "turn_idx", "ngram")
+        .agg(F.min("gold_entity").alias("gold_entity"))
     )
     m = mentions.join(gm, ["conv_id", "turn_idx", "ngram"], "inner").select(
         "mention_id", "gold_entity"

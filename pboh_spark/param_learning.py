@@ -158,27 +158,37 @@ def _ppl_conv(
     lse = (np.log(z) + mx)[:, 0]
     p = zexp / z
     loss = float(((phi[idx, gidx] - lse) / L).sum())
+    # coeff[row,a] = (1{a = gold_row} − p_row(a)) / L for contributing
+    # mentions, zeroed where the candidate slot is padding or the discard
+    # clamp fired (∂φ = 0 there)
+    onehot = np.zeros_like(p)
+    onehot[np.arange(len(idx)), gidx] = 1.0
+    coeff = np.where(valid[idx] & ~big[idx], (onehot - p) / L, 0.0)
     rho_g: dict[tuple[str, int], float] = {}
+    nz = np.nonzero(coeff)  # ≤ n·K entries — the same (surface, entity)
+    for row, a in zip(*nz):  # key repeats when a surface recurs in-conv
+        rk = (surfaces[idx[row]], int(ents[idx[row], a]))
+        rho_g[rk] = rho_g.get(rk, 0.0) + w.f * float(coeff[row, a])
+    # λ part vectorized (the n·K·L tensor is the hot path): contribution
+    # g·pw·coeff[row,a] at key (cand a of row, gold of j) for unmasked
+    # neighbors j whose packed key has a parameter row
     lam_g: dict[int, float] = {}
-    # coeff[i,a] = (1{a = gold_i} − p_i(a)) / L for contributing mentions,
-    # zeroed where the discard clamp fired (∂φ = 0 there)
-    for row, i in enumerate(idx):
-        surf = surfaces[i]
-        for a in range(K):
-            if not valid[i, a]:
-                continue
-            coeff = (float(a == gidx[row]) - float(p[row, a])) / L
-            if big[i, a]:
-                continue
-            rk = (surf, int(ents[i, a]))
-            rho_g[rk] = rho_g.get(rk, 0.0) + w.f * coeff
-            lcoeff = w.g * pw * coeff
-            for j in range(L):
-                if mask[i, j] == 0.0:
-                    continue
-                key = int(keys[i, a, j])
-                if key in train_keys:
-                    lam_g[key] = lam_g.get(key, 0.0) + lcoeff
+    if train_keys:
+        k3 = keys[idx]                                   # (n, K, L)
+        m3 = mask[idx][:, None, :] > 0.0                 # neighbor guard
+        sel = (
+            m3
+            & (coeff[:, :, None] != 0.0)
+            & np.isin(k3, np.fromiter(train_keys, dtype=np.int64))
+        )
+        if sel.any():
+            flat_keys = k3[sel]
+            flat_vals = (
+                w.g * pw * np.broadcast_to(coeff[:, :, None], k3.shape)[sel]
+            )
+            uk, inv = np.unique(flat_keys, return_inverse=True)
+            sums = np.bincount(inv, weights=flat_vals)
+            lam_g = dict(zip(uk.tolist(), sums.tolist()))
     return loss, rho_g, lam_g, n
 
 
@@ -326,9 +336,10 @@ def learn_param_tables(
             lam_eff = _conv_lambda_eff(
                 cand_gold, lambda_table, lam_p
             ).withColumnRenamed("conv_id", "conv_id_l")
+            lam_ck = lam_eff.localCheckpoint(eager=False)
             grads = (
                 cg.groupBy("conv_id")
-                .cogroup(lam_eff.localCheckpoint(eager=False).groupBy("conv_id_l"))
+                .cogroup(lam_ck.groupBy("conv_id_l"))
                 .applyInPandas(_pgrad_kernel(w, lam_const), PGRAD_SCHEMA)
             )
             # fixed-point merge per parameter key (order-independent)
@@ -336,9 +347,16 @@ def learn_param_tables(
                 q("val").alias("gsum"),
                 F.count("*").alias("n"),
             ).persist()
+            # loss rows collapse per (kind, null, n_mentions, 0) key, so a
+            # group can hold MANY conversations with the same contributing
+            # count — n_convs must sum the group's row count `n`, not
+            # count groups (counting groups under-counts and over-scales
+            # every gradient by the collapse factor)
             lrow = merged.where(F.col("kind") == "loss").agg(
                 F.sum("gsum").alias("loss"),
-                F.sum(F.when(F.col("e1") > 0, 1).otherwise(0)).alias("n_convs"),
+                F.sum(
+                    F.when(F.col("e1") > 0, F.col("n")).otherwise(0)
+                ).alias("n_convs"),
             ).collect()[0]
             n_convs = int(lrow["n_convs"] or 0)
             if n_convs == 0:
@@ -355,13 +373,20 @@ def learn_param_tables(
             gl = merged.where(F.col("kind") == "lam").select(
                 "e1", "e2", (F.col("gsum") / n_convs).alias("grad"),
             )
+            # the eager localCheckpoint below materializes the NEW tables
+            # before the superseded round's blocks are released — without
+            # the unpersists, n_rounds dead parameter-table copies (plus
+            # one λ-slice per round) would pin executor storage for the
+            # app lifetime
+            rho_prev, lam_prev = rho_p, lam_p
             rho_p = _adagrad_update(
                 rho_p.join(gr, ["ngram", "entity"], "left"), eta, reg
             ).localCheckpoint()
             lam_p = _adagrad_update(
                 lam_p.join(gl, ["e1", "e2"], "left"), eta, reg
             ).localCheckpoint()
-            merged.unpersist()
+            for stale in (rho_prev, lam_prev, lam_ck, merged):
+                stale.unpersist()
     finally:
         cand_gold.unpersist()  # releases the localCheckpoint blocks
     return rho_p, lam_p, history

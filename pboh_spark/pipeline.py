@@ -208,8 +208,23 @@ def run_pipeline(
 
             def build_param_tables() -> DataFrame:
                 cg = learning.learning_candidates(cand, mentions, learn_gold)
+                # the fit must see the SAME λ baseline the serving stage
+                # uses: with fitted weights the stored potentials are
+                # re-evaluated at the fitted h (λ = log_smoothed − h·lp_sum)
+                # both here and in build_assignments — otherwise round 0
+                # would not reproduce the fitted baseline scorer and the
+                # proximal regularizer would pull toward stale prior-h
+                # values
+                w_fit = weights or ScorerWeights()
+                lam_base = lam
+                if weights is not None:
+                    lam_base = lam.withColumn(
+                        "lambda_potential",
+                        F.col("log_smoothed")
+                        - F.lit(weights.h) * F.col("lp_sum"),
+                    )
                 rho_p, lam_p, hist = param_learning.learn_param_tables(
-                    cg, lam, weights=weights or ScorerWeights(),
+                    cg, lam_base, weights=w_fit,
                     n_rounds=param_rounds,
                     lam_const=resolve.backoff_lam_const(scalars),
                 )

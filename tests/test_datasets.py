@@ -95,6 +95,27 @@ def test_xml_gold_adapter(spark):
     assert mentions.count() == 4
 
 
+def test_hashed_entity_ids_fit_lbp_pair_packing(spark):
+    """xml/gerbil entity ids hash from titles — they must land in
+    [0, 2^31): the LBP kernel rejects ids ≥ 2^32 and negative ids would
+    sign-extend through the pair packing (regression: raw xxhash64
+    crashed resolve_entities on these formats)."""
+    for _, gold in (
+        datasets.load_xml_gold(spark, XML_FIXTURE),
+        datasets.load_gerbil_gold(spark, GERBIL_DIR),
+    ):
+        ids = [r["entity"] for r in gold.select("entity").collect()]
+        assert ids and all(0 <= i < (1 << 31) for i in ids), ids
+
+
+def test_xml_gold_lbp_path_runs(spark):
+    """The full LBP resolver must run on hashed-id gold sets (the crash
+    scenario: evaluate_gold_dataset's default lbp=True path)."""
+    mentions, gold = datasets.load_xml_gold(spark, XML_FIXTURE)
+    m = datasets.evaluate_gold_dataset(spark, mentions, gold, lbp=True)
+    assert m["lbp"]["micro_accuracy"] == 1.0
+
+
 def test_gerbil_adapter(spark):
     """GERBIL Problems/ dir: value-on-next-line tags, per-file docs,
     offsets preserved, NIL dropped."""

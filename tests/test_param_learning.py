@@ -152,6 +152,11 @@ def test_param_fit_flips_planted_surface_and_beats_fewparams(spark):
     )
     assert len(hist) == 8
     assert hist[-1]["loss"] > hist[0]["loss"]  # ascent
+    # all 8 convs have the SAME contributing-mention count, so their loss
+    # rows collapse into one merge group — n_convs must sum the group's
+    # row count, not count groups (regression: the group-count bug made
+    # this 1 and over-scaled every gradient 8×)
+    assert hist[0]["n_convs"] == 8
     # the planted surface's parameters must have crossed: w(foo,B) > w(foo,A)
     wmap = {
         (r["ngram"], r["entity"]): r["w"]
