@@ -759,6 +759,45 @@ def dedup_exact(spark, sf_dir):
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+def dedup_canonical_docs(spark, sf_dir):
+    """The COMPOSED near-dup dedup pipeline a training-data run ships:
+    minhash-LSH candidate pairs → iterative connected components →
+    one canonical document per cluster (longest token stream, doc_id
+    tie-break), singletons canonical by definition. Output is the
+    keep/drop decision per document — the end-to-end recipe whose
+    stages dedup_lsh_pairs and cc_components certify individually.
+    Oracle: recursive-CTE transitive closure + the same window pick."""
+    from pyspark.sql import Window
+
+    from pboh_spark.cluster import connected_components
+    from pboh_spark.ops.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(d, "text", k=3, n_hashes=_MH_N, n_bands=_MH_BANDS)
+    comp = connected_components(edges, "doc_id_a", "doc_id_b")
+    toks = d.select(
+        "doc_id",
+        F.coalesce(
+            F.size(F.filter(F.split("text", " "), lambda x: x != "")),
+            F.lit(0),
+        ).alias("n_tokens"),
+    )
+    full = toks.join(
+        comp.select(F.col("id").alias("doc_id"), "cluster_id"),
+        "doc_id", "left",
+    ).withColumn(
+        "cluster_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("bigint"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return full.select(
+        "doc_id", "cluster_id", "n_tokens",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
+
+
 def dedup_minhash_sig(spark, sf_dir):
     from pboh_spark.ops.dedup import minhash_signatures
 
@@ -1342,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- no driver row yet: r4-new queries + the 6 outside r03's window --
         "streaming_ingest_replay": streaming_ingest_replay,
         "link_stem_trigram": link_stem_trigram,
+        "dedup_canonical_docs": dedup_canonical_docs,
         "pboh_learn_param_tables": pboh_learn_param_tables,
         "pboh_resolve_lbp_params": pboh_resolve_lbp_params,
         "pboh_learn_weights": pboh_learn_weights,
@@ -1814,6 +1854,40 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT u AS doc_id, least(u, min(v))::BIGINT AS cluster_id
         FROM reach GROUP BY u ORDER BY doc_id
+    """
+    d_canonical = f"""
+        WITH RECURSIVE {_BANDS_SQL},
+        sym AS (
+            SELECT doc_id_a AS u, doc_id_b AS v FROM lsh_pairs
+            UNION
+            SELECT doc_id_b AS u, doc_id_a AS v FROM lsh_pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM sym
+            UNION
+            SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        ),
+        comp AS (
+            SELECT u AS doc_id, least(u, min(v))::BIGINT AS cluster_id
+            FROM reach GROUP BY u
+        ),
+        toks AS (
+            SELECT doc_id,
+                   coalesce(len(list_filter(string_split(text, ' '),
+                                            x -> x <> '')), 0)::INT
+                       AS n_tokens
+            FROM documents
+        ),
+        alldocs AS (
+            SELECT t.doc_id, coalesce(c.cluster_id, t.doc_id) AS cluster_id,
+                   t.n_tokens
+            FROM toks t LEFT JOIN comp c USING (doc_id)
+        )
+        SELECT doc_id, cluster_id, n_tokens,
+               (row_number() OVER (
+                    PARTITION BY cluster_id
+                    ORDER BY n_tokens DESC, doc_id ASC) = 1) AS is_canonical
+        FROM alldocs
     """
     d_exact = """
         WITH h AS (
@@ -2486,6 +2560,7 @@ def oracle_sql() -> dict[str, str]:
         "link_blocking_metrics": blocking_metrics,
         "cc_components": cc,
         "dedup_exact": d_exact,
+        "dedup_canonical_docs": d_canonical,
         "dedup_minhash_sig": d_sig,
         "dedup_lsh_pairs": d_lsh,
         "dedup_jaccard_pairs": d_jac,
