@@ -1284,39 +1284,24 @@ def link_stem_trigram(spark, sf_dir):
     )
 
 
-def streaming_ingest_replay(spark, sf_dir):
-    """Streaming conformance surface (pboh_spark/streaming.py) under the
-    driver gate: transcript-shaped rows derived from ``documents`` are
-    written as a static parquet directory, drained through the REAL
-    incremental-ingest path — file-source ``readStream`` →
-    ``incremental_extract`` (foreachBatch, exactly-once batch_id=N
-    partition overwrite) with ``trigger(availableNow=True)`` — and the
-    landed mentions table is aggregated per surface form. The DuckDB
-    oracle recomputes the same per-ngram aggregate (including the exact
-    per-occurrence offsets) straight from ``documents``, so a value
-    mismatch catches both extraction bugs AND streamed-sink corruption
-    (lost/duplicated micro-batches).
-
-    The result is micro-batch-split invariant: the ingest is stateless
-    per row and batch_id is excluded from the aggregate, so HOW the
-    files split into batches cannot change the output — which is what
-    makes a streamed path oracle-checkable at all. Out/checkpoint dirs
-    are wiped per call so a stale checkpoint can never serve results
-    from an older code version."""
+def _stream_fixture(spark, sf_dir, kind: str, wipe: tuple[str, ...] = ()):
+    """Shared input of the streaming contract queries: transcript-shaped
+    rows derived from ``documents`` written as a 4-file parquet
+    directory under a deterministic temp path. documents.text is
+    all-lowercase, so every word longer than 4 chars is capitalized
+    (deterministic, mirrored in the oracles) so MENTION_RE finds real
+    single- AND multi-word mentions in the streamed turns. The ``wipe``
+    subdirs are cleared per call so a stale checkpoint can never serve
+    results from an older code version."""
     import hashlib
     import shutil
     import tempfile
     from pathlib import Path
 
-    from pboh_spark import streaming
-
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = Path(tempfile.gettempdir()) / f"pboh_stream_replay_{tag}"
-    for sub in ("mentions", "ckpt"):
+    base = Path(tempfile.gettempdir()) / f"pboh_stream_{kind}_{tag}"
+    for sub in wipe:
         shutil.rmtree(base / sub, ignore_errors=True)
-    # documents.text is all-lowercase — capitalize every word longer than
-    # 4 chars (deterministic, mirrored in the oracle) so MENTION_RE finds
-    # real single- AND multi-word mentions in the streamed turns
     cap = F.array_join(
         F.transform(
             F.split(F.col("text"), " "),
@@ -1339,6 +1324,31 @@ def streaming_ingest_replay(spark, sf_dir):
         F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
     )
     t.repartition(4).write.mode("overwrite").parquet(str(base / "in"))
+    return base
+
+
+def streaming_ingest_replay(spark, sf_dir):
+    """Streaming conformance surface (pboh_spark/streaming.py) under the
+    driver gate: transcript-shaped rows derived from ``documents`` are
+    written as a static parquet directory, drained through the REAL
+    incremental-ingest path — file-source ``readStream`` →
+    ``incremental_extract`` (foreachBatch, exactly-once batch_id=N
+    partition overwrite) with ``trigger(availableNow=True)`` — and the
+    landed mentions table is aggregated per surface form. The DuckDB
+    oracle recomputes the same per-ngram aggregate (including the exact
+    per-occurrence offsets) straight from ``documents``, so a value
+    mismatch catches both extraction bugs AND streamed-sink corruption
+    (lost/duplicated micro-batches).
+
+    The result is micro-batch-split invariant: the ingest is stateless
+    per row and batch_id is excluded from the aggregate, so HOW the
+    files split into batches cannot change the output — which is what
+    makes a streamed path oracle-checkable at all. Out/checkpoint dirs
+    are wiped per call so a stale checkpoint can never serve results
+    from an older code version."""
+    from pboh_spark import streaming
+
+    base = _stream_fixture(spark, sf_dir, "replay", ("mentions", "ckpt"))
     q = streaming.incremental_extract(
         streaming.stream_transcripts(
             spark, str(base / "in"), max_files_per_trigger=2
@@ -1356,6 +1366,58 @@ def streaming_ingest_replay(spark, sf_dir):
             F.sum("offset").alias("sum_offset"),
             F.sum("length").alias("sum_len"),
         )
+    )
+
+
+def streaming_stateful_totals(spark, sf_dir):
+    """The CUSTOM STATEFUL streaming operator under the driver gate:
+    the same derived transcript files drain through
+    ``streaming.run_surface_stats`` — ``applyInPandasWithState``
+    maintaining the running per-surface occurrence total across
+    micro-batches (the incremental surface-dictionary, THE bounded
+    state of the 10^12-turn design) — and the query returns each
+    surface's FINAL total. The total is read as max() over the per-batch
+    update rows: the counter is monotone, so the maximum is the final
+    state no matter how the files split into batches or which batch_id
+    carried the last update — that split-invariance is what makes the
+    stateful path oracle-checkable. Oracle: plain per-ngram mention
+    counts straight from ``documents``."""
+    from pboh_spark import streaming
+
+    base = _stream_fixture(spark, sf_dir, "stateful", ("out", "ckpt"))
+    q = streaming.run_surface_stats(
+        spark, str(base / "in"), str(base / "out"), str(base / "ckpt")
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(str(base / "out"))
+        .groupBy("ngram")
+        .agg(F.max("total").alias("total"))
+    )
+
+
+def streaming_window_counts(spark, sf_dir):
+    """The WATERMARKED WINDOWED aggregation under the driver gate:
+    ``streaming.run_window_counts_to_memory`` drains the derived
+    transcript files through the 1-hour tumbling-window mention-count
+    stream (watermark 2h) into a memory sink. Every derived turn
+    carries the same fixed ts, so all mass lands in one window whose
+    bounds are emitted as formatted strings (cross-engine timestamp
+    canonicalization is not worth testing here — the WINDOWING is).
+    Oracle: the same per-ngram counts with literal window bounds."""
+    from pboh_spark import streaming
+
+    base = _stream_fixture(spark, sf_dir, "window", ("ckpt",))
+    name = "pboh_window_counts_gate"
+    q = streaming.run_window_counts_to_memory(
+        spark, str(base / "in"), str(base / "ckpt"), query_name=name
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("w_end"),
+        "ngram",
+        "freq",
     )
 
 
@@ -1380,6 +1442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- no driver row yet: r4-new queries + the 6 outside r03's window --
         "streaming_ingest_replay": streaming_ingest_replay,
+        "streaming_stateful_totals": streaming_stateful_totals,
+        "streaming_window_counts": streaming_window_counts,
         "link_stem_trigram": link_stem_trigram,
         "dedup_canonical_docs": dedup_canonical_docs,
         "pboh_learn_param_tables": pboh_learn_param_tables,
@@ -2219,8 +2283,10 @@ def oracle_sql() -> dict[str, str]:
     # offsets (offset_k = Σ len(seg_1..k) + Σ len(m_1..k-1), segs = the
     # regex-split complement of the matches) directly from documents —
     # the streamed path must land exactly these rows
-    stream_replay = r"""
-        WITH capped AS (
+    # shared front half of the three streaming oracles: the capitalized
+    # document text and its per-occurrence mention rows
+    _stream_m = r"""
+        capped AS (
             SELECT doc_id,
                    array_to_string(list_transform(string_split(text, ' '),
                        x -> CASE WHEN length(x) > 4
@@ -2246,11 +2312,25 @@ def oracle_sql() -> dict[str, str]:
                    length(ms[k]) AS len
             FROM ex, UNNEST(range(1, len(ms) + 1)) AS t(k)
         )
+    """
+    stream_replay = f"""
+        WITH {_stream_m}
         SELECT ngram,
                count(*)::BIGINT AS n_mentions,
                count(DISTINCT conv_id)::BIGINT AS n_convs,
                sum(off)::BIGINT AS sum_offset,
                sum(len)::BIGINT AS sum_len
+        FROM m GROUP BY ngram
+    """
+    stream_stateful = f"""
+        WITH {_stream_m}
+        SELECT ngram, count(*)::BIGINT AS total FROM m GROUP BY ngram
+    """
+    stream_window = f"""
+        WITH {_stream_m}
+        SELECT '2026-01-01 00:00:00' AS w_start,
+               '2026-01-01 01:00:00' AS w_end,
+               ngram, count(*)::BIGINT AS freq
         FROM m GROUP BY ngram
     """
     rho_context = """
@@ -2579,6 +2659,8 @@ def oracle_sql() -> dict[str, str]:
         "text_unescape_links": unescape_links,
         "scan_gzip_roundtrip": gzip_roundtrip,
         "streaming_ingest_replay": stream_replay,
+        "streaming_stateful_totals": stream_stateful,
+        "streaming_window_counts": stream_window,
         "stat_rho_context": rho_context,
         # pboh_resolve_lbp / pboh_e2e_clusters / pboh_surface_clusters /
         # multimodal_features come from GOLDEN_SQL above (seeded golden-row
