@@ -1284,6 +1284,9 @@ def link_stem_trigram(spark, sf_dir):
     )
 
 
+_STREAM_FIXTURE_VERSION = 1
+
+
 def _stream_fixture(spark, sf_dir, kind: str, wipe: tuple[str, ...] = ()):
     """Shared input of the streaming contract queries: transcript-shaped
     rows derived from ``documents`` written as a 4-file parquet
@@ -1302,29 +1305,42 @@ def _stream_fixture(spark, sf_dir, kind: str, wipe: tuple[str, ...] = ()):
     base = Path(tempfile.gettempdir()) / f"pboh_stream_{kind}_{tag}"
     for sub in wipe:
         shutil.rmtree(base / sub, ignore_errors=True)
-    cap = F.array_join(
-        F.transform(
-            F.split(F.col("text"), " "),
-            lambda x: F.when(
-                F.length(x) > 4,
-                F.concat(
-                    F.upper(x.substr(F.lit(1), F.lit(1))),
-                    x.substr(F.lit(2), F.length(x)),
-                ),
-            ).otherwise(x),
-        ),
-        " ",
-    )
-    t = _t(spark, sf_dir, "documents").select(
-        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("conv_id"),
-        F.lit(0).alias("turn_idx"),
-        F.lit("user").alias("role"),
-        cap.alias("text"),
-        F.lit(None).cast("string").alias("tool"),
-        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
-    )
-    t.repartition(4).write.mode("overwrite").parquet(str(base / "in"))
-    return base
+    # the derived input is IDENTICAL for all three streaming queries —
+    # one shared directory, written once per derivation version, saves
+    # two redundant documents scans + parquet writes per gate round.
+    # Bump _STREAM_FIXTURE_VERSION when the derivation below changes; a
+    # forgotten bump surfaces as an oracle mismatch, never silently.
+    shared_in = Path(tempfile.gettempdir()) / f"pboh_stream_in_{tag}"
+    marker = shared_in / f"_v{_STREAM_FIXTURE_VERSION}"
+    if not marker.exists():
+        cap = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda x: F.when(
+                    F.length(x) > 4,
+                    F.concat(
+                        F.upper(x.substr(F.lit(1), F.lit(1))),
+                        x.substr(F.lit(2), F.length(x)),
+                    ),
+                ).otherwise(x),
+            ),
+            " ",
+        )
+        t = _t(spark, sf_dir, "documents").select(
+            F.concat(
+                F.lit("doc-"), F.col("doc_id").cast("string")
+            ).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit("user").alias("role"),
+            cap.alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+        t.repartition(4).write.mode("overwrite").parquet(
+            str(shared_in / "in")
+        )
+        marker.touch()
+    return base, shared_in / "in"
 
 
 def streaming_ingest_replay(spark, sf_dir):
@@ -1348,10 +1364,10 @@ def streaming_ingest_replay(spark, sf_dir):
     from an older code version."""
     from pboh_spark import streaming
 
-    base = _stream_fixture(spark, sf_dir, "replay", ("mentions", "ckpt"))
+    base, in_path = _stream_fixture(spark, sf_dir, "replay", ("mentions", "ckpt"))
     q = streaming.incremental_extract(
         streaming.stream_transcripts(
-            spark, str(base / "in"), max_files_per_trigger=2
+            spark, str(in_path), max_files_per_trigger=2
         ),
         str(base / "mentions"),
         str(base / "ckpt"),
@@ -1384,9 +1400,9 @@ def streaming_stateful_totals(spark, sf_dir):
     counts straight from ``documents``."""
     from pboh_spark import streaming
 
-    base = _stream_fixture(spark, sf_dir, "stateful", ("out", "ckpt"))
+    base, in_path = _stream_fixture(spark, sf_dir, "stateful", ("out", "ckpt"))
     q = streaming.run_surface_stats(
-        spark, str(base / "in"), str(base / "out"), str(base / "ckpt")
+        spark, str(in_path), str(base / "out"), str(base / "ckpt")
     )
     q.awaitTermination()
     return (
@@ -1407,10 +1423,10 @@ def streaming_window_counts(spark, sf_dir):
     Oracle: the same per-ngram counts with literal window bounds."""
     from pboh_spark import streaming
 
-    base = _stream_fixture(spark, sf_dir, "window", ("ckpt",))
+    base, in_path = _stream_fixture(spark, sf_dir, "window", ("ckpt",))
     name = "pboh_window_counts_gate"
     q = streaming.run_window_counts_to_memory(
-        spark, str(base / "in"), str(base / "ckpt"), query_name=name
+        spark, str(in_path), str(base / "ckpt"), query_name=name
     )
     q.awaitTermination()
     return spark.table(name).select(

@@ -200,8 +200,13 @@ def load_xml_gold(
                     )
                 )
             ).alias("ngram"),
-            F.regexp_extract(
-                F.col("a"), r"(?s)<wikiName>(.*?)</wikiName>", 1
+            # trim BEFORE the NIL/empty filters and the id hash:
+            # whitespace-padded '<wikiName> England </wikiName>' must
+            # hash like 'England', and 'NIL ' must still be dropped
+            F.trim(
+                F.regexp_extract(
+                    F.col("a"), r"(?s)<wikiName>(.*?)</wikiName>", 1
+                )
             ).alias("entity_title"),
         )
         .where(
@@ -312,7 +317,8 @@ def load_raw_texts(spark: SparkSession, raw_dir: str) -> DataFrame:
             F.lit(0).alias("turn_idx"),
             F.lit("document").alias("role"),
             F.translate(
-                F.regexp_replace("value", "\n", " "), "’", "'"
+                F.regexp_replace(_unix_lines(F.col("value")), "\n", " "),
+                "’", "'",
             ).alias("text"),
             F.lit(None).cast("string").alias("tool"),
             F.lit(None).cast("timestamp").alias("ts"),
@@ -333,6 +339,19 @@ def to_transcripts(docs: DataFrame) -> DataFrame:
         F.array_join("words", " ").alias("text"),
         F.lit(None).cast("string").alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def anchors_from_titles(anchors: DataFrame) -> DataFrame:
+    """Re-key an anchor corpus carrying entity TITLE strings
+    (name, entity_title, doc_id) into the hashed id space the xml/gerbil
+    adapters use — REQUIRED before passing external anchors to
+    evaluate_gold_dataset for those formats, since their gold ids are
+    `_title_entity_id(title)`, not catalog ids."""
+    return anchors.select(
+        "name",
+        _title_entity_id(F.trim(F.col("entity_title"))).alias("entity"),
+        "doc_id",
     )
 
 
@@ -409,9 +428,27 @@ def _main() -> None:
         mentions, gold = load_xml_gold(spark, args.path)
     else:
         mentions, gold = load_gerbil_gold(spark, args.path)
-    anchors = (
-        spark.read.parquet(args.anchors) if args.anchors else None
-    )
+    anchors = None
+    if args.anchors:
+        anchors = spark.read.parquet(args.anchors)
+        if args.format != "aida":
+            # xml/gerbil gold ids live in the hashed-title space — an
+            # anchor table keyed by catalog ids would compare apples to
+            # hashes and report ~0 accuracy as if the linker failed
+            if "entity_title" in anchors.columns:
+                anchors = anchors_from_titles(anchors)
+            else:
+                import sys as _sys
+
+                print(
+                    "WARNING: --format "
+                    f"{args.format} gold uses hashed-title entity ids; "
+                    "the anchors parquet has no entity_title column to "
+                    "re-key from (datasets.anchors_from_titles), so its "
+                    "'entity' ids MUST already be _title_entity_id "
+                    "hashes or every comparison will miss",
+                    file=_sys.stderr,
+                )
     metrics = evaluate_gold_dataset(
         spark, mentions, gold, anchors, top_k=args.top_k,
         lbp=not args.no_lbp,

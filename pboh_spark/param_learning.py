@@ -321,6 +321,7 @@ def learn_param_tables(
     lam_p = init_lambda_params(lambda_table, min_cocit).localCheckpoint()
     history: list[dict] = []
     q = lambda c: (F.sum(F.round(F.col(c) * _FIXED).cast("long")) / _FIXED)  # noqa: E731
+    in_flight: list = []  # round-scoped persisted handles, released on ANY exit
     try:
         for r in range(n_rounds):
             cg = cand_gold.join(
@@ -337,6 +338,7 @@ def learn_param_tables(
                 cand_gold, lambda_table, lam_p
             ).withColumnRenamed("conv_id", "conv_id_l")
             lam_ck = lam_eff.localCheckpoint(eager=False)
+            in_flight = [lam_ck]
             grads = (
                 cg.groupBy("conv_id")
                 .cogroup(lam_ck.groupBy("conv_id_l"))
@@ -347,6 +349,7 @@ def learn_param_tables(
                 q("val").alias("gsum"),
                 F.count("*").alias("n"),
             ).persist()
+            in_flight.append(merged)
             # loss rows collapse per (kind, null, n_mentions, 0) key, so a
             # group can hold MANY conversations with the same contributing
             # count — n_convs must sum the group's row count `n`, not
@@ -360,8 +363,7 @@ def learn_param_tables(
             ).collect()[0]
             n_convs = int(lrow["n_convs"] or 0)
             if n_convs == 0:
-                merged.unpersist()
-                break
+                break  # in_flight (merged + this round's λ slice) released below
             history.append(
                 {"round": r, "loss": float(lrow["loss"]) / n_convs,
                  "n_convs": n_convs}
@@ -385,10 +387,15 @@ def learn_param_tables(
             lam_p = _adagrad_update(
                 lam_p.join(gl, ["e1", "e2"], "left"), eta, reg
             ).localCheckpoint()
-            for stale in (rho_prev, lam_prev, lam_ck, merged):
+            for stale in (rho_prev, lam_prev):
                 stale.unpersist()
+            for stale in in_flight:
+                stale.unpersist()
+            in_flight = []
     finally:
         cand_gold.unpersist()  # releases the localCheckpoint blocks
+        for stale in in_flight:  # early break or mid-round failure
+            stale.unpersist()
     return rho_p, lam_p, history
 
 

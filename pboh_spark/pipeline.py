@@ -199,6 +199,19 @@ def run_pipeline(
                 "final_loss": float(last["loss"]),
             }
 
+        def _lam_at_serving_h(tbl: DataFrame) -> DataFrame:
+            """THE λ-baseline rule shared by the param fit and the
+            serving stage: with fitted weights, stored potentials are
+            re-evaluated from the affine columns at the fitted h —
+            round 0 of the param fit must reproduce exactly what
+            serving computes, so there is ONE copy of this expression."""
+            if weights is None:
+                return tbl
+            return tbl.withColumn(
+                "lambda_potential",
+                F.col("log_smoothed") - F.lit(weights.h) * F.col("lp_sum"),
+            )
+
         param_tables = None
         if learn_params:
             if learn_gold is None:
@@ -208,23 +221,9 @@ def run_pipeline(
 
             def build_param_tables() -> DataFrame:
                 cg = learning.learning_candidates(cand, mentions, learn_gold)
-                # the fit must see the SAME λ baseline the serving stage
-                # uses: with fitted weights the stored potentials are
-                # re-evaluated at the fitted h (λ = log_smoothed − h·lp_sum)
-                # both here and in build_assignments — otherwise round 0
-                # would not reproduce the fitted baseline scorer and the
-                # proximal regularizer would pull toward stale prior-h
-                # values
                 w_fit = weights or ScorerWeights()
-                lam_base = lam
-                if weights is not None:
-                    lam_base = lam.withColumn(
-                        "lambda_potential",
-                        F.col("log_smoothed")
-                        - F.lit(weights.h) * F.col("lp_sum"),
-                    )
                 rho_p, lam_p, hist = param_learning.learn_param_tables(
-                    cg, lam_base, weights=w_fit,
+                    cg, _lam_at_serving_h(lam), weights=w_fit,
                     n_rounds=param_rounds,
                     lam_const=resolve.backoff_lam_const(scalars),
                 )
@@ -278,17 +277,10 @@ def run_pipeline(
             if param_tables is not None:
                 from pboh_spark import param_learning
 
-                # base λ table at the serving h (fitted h re-evaluates the
-                # stored potentials from the affine columns), then the
-                # learned pair parameters override, then the learned rho
-                # parameters override the candidate priors
-                base_tbl = lam
-                if weights is not None:
-                    base_tbl = lam.withColumn(
-                        "lambda_potential",
-                        F.col("log_smoothed")
-                        - F.lit(weights.h) * F.col("lp_sum"),
-                    )
+                # base λ table at the serving h (the SAME rule the fit
+                # saw), then the learned pair parameters override, then
+                # the learned rho parameters override the candidate priors
+                base_tbl = _lam_at_serving_h(lam)
                 c2 = param_learning.serve_candidates(
                     cand, mentions, param_tables[0]
                 )

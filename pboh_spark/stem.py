@@ -196,7 +196,7 @@ def stem_tokens_udf():
         return s.map(
             lambda arr: None
             if arr is None
-            else [porter_stem(x) for x in arr]
+            else [None if x is None else porter_stem(x) for x in arr]
         )
 
     return _stem_arr
