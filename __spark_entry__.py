@@ -1007,10 +1007,28 @@ def _seeded_resolve_inputs(spark):
 _FIT_KW = {"n_rounds": 12, "eta": 1.0, "reg": 0.01}
 
 
+# fit results memoized per Spark application: TWO contract queries
+# consume each fit (learn_weights + resolve_lbp_fitted; learn_param_tables
+# + resolve_lbp_params), and the fits are the only seeded helpers that
+# COMPUTE at call time (a driver round loop) rather than building a lazy
+# plan — without the memo every conformance round pays each fit twice.
+# Safe because the fits are bit-deterministic (fixed-point merges) and the
+# cached DataFrames are localCheckpointed in the same session they serve.
+_FIT_CACHE: dict = {}
+
+
+def _session_key(spark) -> str:
+    return spark.sparkContext.applicationId
+
+
 def _seeded_fit(spark):
     """Runs the shared weight fit; returns (fitted weights, history,
-    cand, conv-affine λ table, scalars)."""
+    cand, conv-affine λ table, scalars). Memoized per session."""
     from pboh_spark import learning, resolve
+
+    key = ("few", _session_key(spark))
+    if key in _FIT_CACHE:
+        return _FIT_CACHE[key]
 
     gold, mentions, cand, lam, scalars = _seeded_resolve_inputs(spark)
     cand_gold = learning.learning_candidates(cand, mentions, gold)
@@ -1021,7 +1039,8 @@ def _seeded_fit(spark):
         cand_gold, conv_aff,
         lam_const=resolve.backoff_lam_const(scalars), **_FIT_KW,
     )
-    return w_fit, hist, cand, conv_aff, scalars
+    _FIT_CACHE[key] = (w_fit, hist, cand, conv_aff, scalars)
+    return _FIT_CACHE[key]
 
 
 # the ONE per-parameter fit configuration shared by
@@ -1033,8 +1052,12 @@ _PFIT_KW = {"n_rounds": 3, "eta": 1.0, "reg": 0.1, "min_cocit": 4}
 def _seeded_param_fit(spark):
     """Runs the shared per-parameter fit (L4's payload as DataFrames);
     returns (rho_params, lambda_params, history, mentions, cand, lam,
-    scalars)."""
+    scalars). Memoized per session."""
     from pboh_spark import learning, param_learning, resolve
+
+    key = ("param", _session_key(spark))
+    if key in _FIT_CACHE:
+        return _FIT_CACHE[key]
 
     gold, mentions, cand, lam, scalars = _seeded_resolve_inputs(spark)
     cand_gold = learning.learning_candidates(cand, mentions, gold)
@@ -1042,7 +1065,8 @@ def _seeded_param_fit(spark):
         cand_gold, lam,
         lam_const=resolve.backoff_lam_const(scalars), **_PFIT_KW,
     )
-    return rho_p, lam_p, hist, mentions, cand, lam, scalars
+    _FIT_CACHE[key] = (rho_p, lam_p, hist, mentions, cand, lam, scalars)
+    return _FIT_CACHE[key]
 
 
 def pboh_learn_param_tables(spark, sf_dir):
