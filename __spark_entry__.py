@@ -1285,9 +1285,12 @@ def link_stem_trigram(spark, sf_dir):
     index/MentionEntitiesFrequencyIndex.scala:79-116): the seeded
     corpus' distinct mention surfaces are lex-sorted, each paired with
     its dictionary neighbor (the J6 nearest-key shape), and scored by
-    trigram Jaccard over the stemmed strings with the reference's
-    ``$$$ab``/``yz###`` boundary trigrams. Arrow-batched UDFs; seeded
-    input ⇒ golden-oracle checkable."""
+    the reference's occurrence-counted trigram similarity over the
+    stemmed strings (set of the first stem's trigrams, every occurrence
+    of the second's tested against it, with the ``$$$ab``/``yz###``
+    boundary trigrams — asymmetric, can exceed 1.0, exactly as the
+    Scala loop). Arrow-batched UDFs; seeded input ⇒ golden-oracle
+    checkable."""
     from pyspark.sql import Window
 
     from pboh_spark.stem import stem_trigram_sim_udf, stem_udf
@@ -1305,6 +1308,77 @@ def link_stem_trigram(spark, sf_dir):
         F.round(
             stem_trigram_sim_udf()(F.col("ngram"), F.col("next_ngram")), 6
         ).alias("sim"),
+    )
+
+
+def gold_aida_eval(spark, sf_dir):
+    """The gold-dataset adapter subsystem under the driver gate
+    (VERDICT r4 #5): parse the committed AIDA-CoNLL fixture
+    (tests/fixtures/aida_sample.txt) through datasets.aida_mentions_gold
+    WITH a (title → id) index dim and a redirect alias — the
+    EntNameToIDIndex + RedirectPagesIndex composition of AIDA.scala:74
+    (``getTitleId(getCanonicalURL(entityString))``) — then resolve with
+    the self-anchored ARGMAX baseline and emit one row per gold mention:
+    the index-resolved entity, the numeric field-5 gold it must agree
+    with (the :77-82 assert, here as an ``agree`` column the oracle
+    hashes), and the resolver's assignment + correctness (the rows
+    linking_accuracy aggregates; micro accuracy 1.0 ⇔ every ``correct``
+    is true, asserted in tests/test_datasets.py). Column-side parsing
+    only; the index probe is a broadcast-size left join."""
+    from pboh_spark import datasets, resolve, stats
+
+    fixture = str(
+        Path(__file__).resolve().parent / "tests" / "fixtures"
+        / "aida_sample.txt"
+    )
+    idx = spark.createDataFrame(
+        [("England", 101), ("Pakistan", 102), ("Lord%27s", 103),
+         ("New_York_City", 104), ("Karachi", 105)],
+        "title string, entity_id long",
+    )
+    red = spark.createDataFrame(
+        [("New_York", "New_York_City")], "alias string, canonical string"
+    )
+    # numeric field-5 gold (no index) for the agreement column
+    _, numeric = datasets.aida_mentions_gold(spark, fixture)
+    mentions, gold = datasets.aida_mentions_gold(
+        spark, fixture, title_index=idx, redirects=red
+    )
+    anchors = gold.select(
+        F.col("surface").alias("name"), "entity",
+        F.col("conv_id").alias("doc_id"),
+    )
+    cand = resolve.mention_candidates(
+        mentions, stats.name_stats(anchors), top_k=10
+    )
+    assign = resolve.resolve_argmax(cand)
+    g = gold.select(
+        "conv_id", "surface", F.col("entity").alias("resolved_entity")
+    ).join(
+        numeric.select(
+            "conv_id", "surface", F.col("entity").alias("numeric_gold")
+        ),
+        ["conv_id", "surface"],
+    ).distinct()  # gold is per-annotation; repeated same-surface
+    # annotations in one doc must not fan the mention join
+    per_mention = mentions.select("conv_id", "surface", "mention_id").join(
+        assign.select("mention_id", F.col("entity").alias("argmax_entity")),
+        "mention_id",
+        "left",
+    )
+    return (
+        per_mention.join(g, ["conv_id", "surface"])
+        .select(
+            "conv_id",
+            "surface",
+            "resolved_entity",
+            "numeric_gold",
+            (F.col("resolved_entity") == F.col("numeric_gold")).alias("agree"),
+            "argmax_entity",
+            (F.col("argmax_entity") == F.col("resolved_entity")).alias(
+                "correct"
+            ),
+        )
     )
 
 
@@ -1474,13 +1548,32 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver correctness gate verifies the FIRST
     # 50 entries only (r3 finding — CORRECTNESS_r03.json had exactly 50 rows).
-    # Policy (SURVEY §8): entries with NO driver row yet (brand-new queries
-    # and any that rotated out of a previous window) sort first; the stable
-    # driver-verified block follows, so whatever falls past position 50 is
-    # always something a prior round's gate already value-checked (and
-    # golden/pytest oracles still cover it).
+    # Policy (SURVEY §8): entries with NO driver row for their CURRENT
+    # behavior (brand-new queries, queries whose output changed since their
+    # last row, and any that rotated out of the previous window) sort first;
+    # the stable driver-verified block follows, so whatever falls past
+    # position 50 is always something a prior round's gate already
+    # value-checked (and golden/pytest oracles still cover it on every
+    # pytest run via tests/test_entry_oracle.py).
     return {
-        # -- no driver row yet: r4-new queries + the 6 outside r03's window --
+        # -- r5 leading block: new this round + the 13 outside r04's window
+        # (incl. ann_ivf_topk, whose n_probe default changed in r4 AFTER its
+        # last driver row — ADVICE r4) --
+        "gold_aida_eval": gold_aida_eval,
+        "dedup_embedding_lsh_pairs": dedup_embedding_lsh_pairs,
+        "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "text_token_count": text_token_count,
+        "text_quality": text_quality,
+        "text_language_id": text_language_id,
+        "text_fingerprint": text_fingerprint,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "pboh_resolve_lbp": pboh_resolve_lbp,
+        "pboh_resolve_lbp_sumprod": pboh_resolve_lbp_sumprod,
+        "pboh_resolve_lbp_fitted": pboh_resolve_lbp_fitted,
+        # -- r04-verified block (driver-green in CORRECTNESS_r04) --
         "streaming_ingest_replay": streaming_ingest_replay,
         "streaming_stateful_totals": streaming_stateful_totals,
         "streaming_window_counts": streaming_window_counts,
@@ -1532,19 +1625,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_jaccard_lsh": dedup_jaccard_lsh,
         "dedup_embedding_pairs": dedup_embedding_pairs,
-        "dedup_embedding_lsh_pairs": dedup_embedding_lsh_pairs,
-        "dedup_simhash": dedup_simhash,
-        "dedup_simhash_pairs": dedup_simhash_pairs,
-        "text_token_count": text_token_count,
-        "text_quality": text_quality,
-        "text_language_id": text_language_id,
-        "text_fingerprint": text_fingerprint,
-        "ann_cosine_topk": ann_cosine_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "pboh_resolve_lbp": pboh_resolve_lbp,
-        "pboh_resolve_lbp_sumprod": pboh_resolve_lbp_sumprod,
-        "pboh_resolve_lbp_fitted": pboh_resolve_lbp_fitted,
     }
 
 

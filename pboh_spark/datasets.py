@@ -15,10 +15,14 @@ backs AQUAINT_MSNBC_ACE04.scala:12-97 and GERBIL_MSNBC.scala:13-83):
 
 Standalone recast: the reference resolves the URL title through its
 Wikipedia redirect + name→id indexes and asserts the result equals
-field 5 (:77-82); this engine has no Wikipedia indexes, so the numeric
-gold id IS the entity id (the value those indexes must agree with) and
-the title string rides along for joining external redirect tables
-(redirects.resolve_redirects) when a user has one.
+field 5 (:77-82). This engine ships no Wikipedia dumps, but the SAME
+composition exists as ``resolve_entity_titles`` (redirect chase → index
+probe over user-supplied dim tables) with ``title_resolution_report``
+mirroring the :75-87 agreement/missing diagnostics; without an index,
+the numeric gold id IS the entity id (AIDA) or a deterministic title
+hash (xml/gerbil — ``hashed_id_collisions`` detects when that space
+stops being faithful), and the title string always rides along so real
+ids can be grafted on later.
 
 Scale shape: one ``wholetext`` row per shard file (an AIDA dump is one
 file; a sharded directory parallelizes per file), documents split and
@@ -42,10 +46,106 @@ def _title_entity_id(col: str) -> "F.Column":
     kernel packs entity PAIRS into one int64 (resolve._pack, mirroring
     utils/Utils.scala:37-43) and rejects ids ≥ 2^32, and negative ids
     would sign-extend through the packing. 2^31 keeps a full bit of
-    headroom; collision odds at gold-set scale (10^4-10^5 titles) are
-    ~n²/2^32 ≈ 10^-2 per dataset worst case and any collision is
-    deterministic + detectable via the entity_title column."""
+    headroom. Birthday math on the fold: expected collisions ≈
+    n²/2^32, i.e. negligible at n=10^4 distinct titles (~0.02) but
+    LIKELY by n=10^5 (~2.3 expected) — and a collision silently merges
+    two gold entities, inflating self-anchored accuracy. Callers at
+    that scale must either run ``hashed_id_collisions`` (the loaders'
+    CLI does, and warns) or supply a real index via
+    ``resolve_entity_titles``; the title string always rides along so
+    both are possible after the fact."""
     return F.pmod(F.xxhash64(col), F.lit(1 << 31)).cast("long")
+
+
+def hashed_id_collisions(gold: DataFrame) -> int:
+    """Count titles that collided under ``_title_entity_id``: the number
+    of distinct ``entity_title`` values minus the number of distinct
+    ``entity`` ids they hash to. 0 ⇔ the hashed-id space is faithful
+    for this dataset. One small aggregation over the distinct
+    (title, id) pairs."""
+    d = gold.select("entity_title", "entity").distinct().agg(
+        F.countDistinct("entity_title").alias("t"),
+        F.countDistinct("entity").alias("e"),
+    ).collect()[0]
+    return int(d["t"]) - int(d["e"])
+
+
+def resolve_entity_titles(
+    gold: DataFrame,
+    title_index: DataFrame,
+    redirects: DataFrame | None = None,
+) -> DataFrame:
+    """Resolve ``entity_title`` strings to REAL entity ids through a
+    user-supplied (title, entity_id) index — the reference's
+    Wikipedia name→id probe (index/EntNameToIDIndex.scala:16-46),
+    optionally preceded by the redirect chase
+    (redirects.resolve_redirects ≙ RedirectPagesIndex.getCanonicalURL,
+    the exact composition AIDA.scala:74 applies:
+    ``getTitleId(getCanonicalURL(entityString))``).
+
+    Where the index resolves the (canonicalized) title, ``entity`` is
+    replaced by the index id; otherwise the existing id (numeric gold
+    for AIDA, hashed-title fallback for xml/gerbil) is kept. Adds
+    ``entity_resolved`` boolean so callers can count/filter the misses
+    (the reference's NOT_CANONICAL_TITLE path, AIDA.scala:81-87).
+
+    The index is a dim table (millions of rows at Wikipedia scale ≈
+    a few hundred MB) — a plain left join AQE broadcasts when it fits;
+    never force-hinted. Load the reference's TSV dump with
+    ``spark.read.csv(path, sep="\\t")`` and rename columns."""
+    idx = title_index.select(
+        F.trim(F.col("title")).alias("__ti_title"),
+        F.col("entity_id").cast("long").alias("__ti_id"),
+    )
+    g = gold.withColumn("__ti_key", F.trim(F.col("entity_title")))
+    if redirects is not None:
+        from pboh_spark.redirects import resolve_redirects
+
+        g = resolve_redirects(g, redirects, col="__ti_key")
+    return (
+        g.join(idx, g["__ti_key"] == idx["__ti_title"], "left")
+        .withColumn("entity_resolved", F.col("__ti_id").isNotNull())
+        .withColumn("entity", F.coalesce(F.col("__ti_id"), F.col("entity")))
+        .drop("__ti_title", "__ti_id", "__ti_key")
+    )
+
+
+def title_resolution_report(
+    gold: DataFrame,
+    title_index: DataFrame,
+    redirects: DataFrame | None = None,
+) -> dict[str, int]:
+    """The AIDA.scala:75-87 diagnostics as counts instead of printlns:
+    resolve every gold title through (redirects →) the index and
+    compare against the ids the gold table already carries.
+
+    * ``n_unresolved`` ≙ the 'GROUND TRUTH ENT NOT IN EntNameToIDIndex'
+      print (title missing from the index after the chase);
+    * ``n_disagree`` ≙ the 'EEEEEEEEROR : ent != gtruth' print — only
+      meaningful when ``gold.entity`` holds independent ids (AIDA's
+      numeric field 5); for xml/gerbil's hashed fallbacks every
+      resolved row "disagrees" by construction.
+    """
+    r = resolve_entity_titles(
+        gold.withColumn("__gold_id", F.col("entity")), title_index, redirects
+    )
+    row = r.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(~F.col("entity_resolved"), 1).otherwise(0)).alias("miss"),
+        F.sum(
+            F.when(
+                F.col("entity_resolved")
+                & (F.col("entity") != F.col("__gold_id")),
+                1,
+            ).otherwise(0)
+        ).alias("dis"),
+    ).collect()[0]
+    return {
+        "n_gold": int(row["n"]),
+        "n_resolved": int(row["n"]) - int(row["miss"] or 0),
+        "n_unresolved": int(row["miss"] or 0),
+        "n_disagree": int(row["dis"] or 0),
+    }
 
 
 def _unix_lines(col) -> "F.Column":
@@ -92,7 +192,11 @@ def load_aida(
 
 
 def aida_mentions_gold(
-    spark: SparkSession, path: str, split: str | None = None
+    spark: SparkSession,
+    path: str,
+    split: str | None = None,
+    title_index: DataFrame | None = None,
+    redirects: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(mentions, gold) from AIDA files — the shapes the resolve /
     evaluate / learning stack consumes:
@@ -103,7 +207,16 @@ def aida_mentions_gold(
     One mention per BEGIN line (AIDA.scala:73-92), ordered by line
     position; ``mention_id`` is the deterministic xxhash64 of
     (doc, line position, surface) so ids are stable at any parallelism.
-    """
+
+    With a ``title_index`` (title, entity_id) dim — and optionally a
+    (alias, canonical) ``redirects`` dim — the URL title is resolved
+    exactly like AIDA.scala:74
+    (``getTitleId(getCanonicalURL(entityString))``): resolved ids
+    REPLACE the numeric field-5 gold (the reference asserts they agree
+    — run ``title_resolution_report`` for the agreement counts), and
+    mentions whose title the index cannot resolve are DROPPED from both
+    outputs, mirroring the NOT_CANONICAL_TITLE path (:81-87). gold then
+    carries an ``entity_resolved`` column (all true)."""
     docs = load_aida(spark, path, split)
     ln = docs.select(
         F.col("doc_id").alias("conv_id"),
@@ -119,11 +232,17 @@ def aida_mentions_gold(
             "conv_id",
             "pos",
             F.trim(F.lower(F.element_at(fields, 3))).alias("ngram"),
-            F.element_at(fields, 5).alias("wiki_url"),
+            F.regexp_extract(
+                F.element_at(fields, 5), r"/wiki/([^/]*)$", 1
+            ).alias("entity_title"),
             F.element_at(fields, 6).cast("long").alias("entity"),
         )
         .where((F.col("ngram") != "") & F.col("entity").isNotNull())
     )
+    if title_index is not None:
+        m = resolve_entity_titles(m, title_index, redirects).where(
+            F.col("entity_resolved")
+        )
     mentions = m.select(
         "conv_id",
         F.lit(0).alias("turn_idx"),
@@ -132,20 +251,24 @@ def aida_mentions_gold(
         F.col("ngram").alias("surface"),
         "pos",
     )
-    gold = m.select(
+    gold_cols = [
         "conv_id",
         F.lit(0).alias("turn_idx"),
         F.col("ngram").alias("surface"),
         "entity",
-        F.regexp_extract(
-            F.col("wiki_url"), r"/wiki/([^/]*)$", 1
-        ).alias("entity_title"),
-    )
+        "entity_title",
+    ]
+    if title_index is not None:
+        gold_cols.append("entity_resolved")
+    gold = m.select(*gold_cols)
     return mentions, gold
 
 
 def load_xml_gold(
-    spark: SparkSession, path: str
+    spark: SparkSession,
+    path: str,
+    title_index: DataFrame | None = None,
+    redirects: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """AQUAINT / MSNBC / ACE04 mentions-XML adapter —
     eval/datasets/AQUAINT_MSNBC_ACE04.scala:23-97: one XML file per
@@ -161,7 +284,12 @@ def load_xml_gold(
     non-negative ids; stable across runs and datasets, so two docs
     linking the same title agree), and
     ``entity_title`` carries the name for joining a real index or
-    redirect table later.
+    redirect table later. WITH a ``title_index`` (title, entity_id) dim
+    (plus optional redirects), gold ids become the index's REAL ids
+    where the wikiName resolves — the reference's actual
+    ``getTitleId(getCanonicalURL(...))`` path — with the hashed
+    fallback kept for unresolved titles, flagged by the added
+    ``entity_resolved`` column.
 
     Returns (mentions, gold) in the stack's shapes; mention order
     within a document follows annotation order.
@@ -231,11 +359,16 @@ def load_xml_gold(
         "entity",
         "entity_title",
     )
+    if title_index is not None:
+        gold = resolve_entity_titles(gold, title_index, redirects)
     return mentions, gold
 
 
 def load_gerbil_gold(
-    spark: SparkSession, problems_dir: str
+    spark: SparkSession,
+    problems_dir: str,
+    title_index: DataFrame | None = None,
+    redirects: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """GERBIL-MSNBC adapter — eval/datasets/GERBIL_MSNBC.scala:15-83:
     one ``Problems/<doc>.txt`` file per document, with
@@ -247,7 +380,9 @@ def load_gerbil_gold(
 
     Returns (mentions, gold); mentions carry the declared char
     ``offset`` into the raw text (the reference keeps it for the
-    commented-out consistency assert, :62-64)."""
+    commented-out consistency assert, :62-64). ``title_index`` /
+    ``redirects`` resolve annotation titles to real ids exactly as in
+    load_xml_gold."""
     raw = (
         spark.read.text(f"{problems_dir}/*.txt", wholetext=True)
         .select(
@@ -300,6 +435,8 @@ def load_gerbil_gold(
         "entity",
         "entity_title",
     )
+    if title_index is not None:
+        gold = resolve_entity_titles(gold, title_index, redirects)
     return mentions, gold
 
 
@@ -416,30 +553,66 @@ def _main() -> None:
     ap.add_argument("--anchors", default=None,
                     help="anchor parquet (name, entity, doc_id); "
                          "default: self-anchored from gold")
+    ap.add_argument("--title-index", default=None,
+                    help="(title, entity_id) parquet — resolve gold "
+                         "titles to REAL entity ids (EntNameToIDIndex)")
+    ap.add_argument("--redirects", default=None,
+                    help="(alias, canonical) parquet chased before the "
+                         "title-index probe (RedirectPagesIndex)")
     ap.add_argument("--top-k", type=int, default=10)
     ap.add_argument("--no-lbp", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
+    import sys as _sys
+
     spark = get_spark(cores=args.cores, app_name="pboh_gold_eval")
+    tidx = spark.read.parquet(args.title_index) if args.title_index else None
+    rdir = spark.read.parquet(args.redirects) if args.redirects else None
     if args.format == "aida":
-        mentions, gold = aida_mentions_gold(spark, args.path, args.split)
+        mentions, gold = aida_mentions_gold(
+            spark, args.path, args.split, title_index=tidx, redirects=rdir
+        )
     elif args.format == "xml":
-        mentions, gold = load_xml_gold(spark, args.path)
+        mentions, gold = load_xml_gold(
+            spark, args.path, title_index=tidx, redirects=rdir
+        )
     else:
-        mentions, gold = load_gerbil_gold(spark, args.path)
+        mentions, gold = load_gerbil_gold(
+            spark, args.path, title_index=tidx, redirects=rdir
+        )
+    hashed_ids = args.format != "aida" and tidx is None
+    if hashed_ids:
+        n_coll = hashed_id_collisions(gold)
+        if n_coll:
+            print(
+                f"WARNING: {n_coll} distinct gold titles collided under "
+                "the hashed-title entity ids — colliding titles are "
+                "silently merged (accuracy inflates); supply "
+                "--title-index for real ids",
+                file=_sys.stderr,
+            )
     anchors = None
     if args.anchors:
         anchors = spark.read.parquet(args.anchors)
-        if args.format != "aida":
+        if tidx is not None and "entity_title" in anchors.columns:
+            # gold ids are real index ids now — anchors keyed by title
+            # must resolve through the SAME index (hashed fallback for
+            # titles the index misses, matching the gold-side fallback)
+            anchors = resolve_entity_titles(
+                anchors.withColumn(
+                    "entity", _title_entity_id(F.trim(F.col("entity_title")))
+                ),
+                tidx,
+                rdir,
+            ).select("name", "entity", "doc_id")
+        elif hashed_ids:
             # xml/gerbil gold ids live in the hashed-title space — an
             # anchor table keyed by catalog ids would compare apples to
             # hashes and report ~0 accuracy as if the linker failed
             if "entity_title" in anchors.columns:
                 anchors = anchors_from_titles(anchors)
             else:
-                import sys as _sys
-
                 print(
                     "WARNING: --format "
                     f"{args.format} gold uses hashed-title entity ids; "

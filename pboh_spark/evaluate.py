@@ -229,7 +229,17 @@ def linking_accuracy(
     emit one row per annotation) would otherwise fan k same-surface
     occurrences into k×k counted rows, weighting repeated surfaces
     quadratically and double-counting a surface annotated with two
-    different entities."""
+    different entities.
+
+    The collapse diverges from the reference's per-occurrence micro
+    accuracy (GlobalStats.scala:236-248) exactly when a surface carries
+    TWO different gold entities in one document (occurs in AIDA): all
+    its occurrences grade against the min entity. Mentions here are
+    surface-keyed so per-occurrence grading is not expressible; instead
+    the returned ``n_multilabel_surfaces`` counts the collapsed groups —
+    0 means the metric equals the reference's definition exactly, and a
+    nonzero count bounds the divergence (each collapsed surface can
+    misgrade at most its occurrences of the non-min labels)."""
     gm = (
         gold_mentions.select(
             "conv_id",
@@ -238,10 +248,14 @@ def linking_accuracy(
             F.col("entity").alias("gold_entity"),
         )
         .groupBy("conv_id", "turn_idx", "ngram")
-        .agg(F.min("gold_entity").alias("gold_entity"))
+        .agg(
+            F.min("gold_entity").alias("gold_entity"),
+            F.countDistinct("gold_entity").alias("__n_labels"),
+        )
     )
     m = mentions.join(gm, ["conv_id", "turn_idx", "ngram"], "inner").select(
-        "mention_id", "gold_entity"
+        "mention_id", "conv_id", "turn_idx", "ngram", "gold_entity",
+        "__n_labels",
     )
     j = m.join(assignments.select("mention_id", "entity"), "mention_id", "left")
     row = j.agg(
@@ -249,9 +263,19 @@ def linking_accuracy(
             "correct"
         ),
         F.count("*").alias("n"),
+        F.count_distinct(
+            F.when(
+                F.col("__n_labels") > 1,
+                F.struct("conv_id", "turn_idx", "ngram"),
+            )
+        ).alias("multi"),
     ).collect()[0]
     n = row["n"] or 1
-    return {"micro_accuracy": (row["correct"] or 0) / n, "n_mentions": int(n)}
+    return {
+        "micro_accuracy": (row["correct"] or 0) / n,
+        "n_mentions": int(n),
+        "n_multilabel_surfaces": int(row["multi"] or 0),
+    }
 
 
 def size_bucketed_f1(

@@ -19,9 +19,13 @@ Consonant test (:168-173): aeiou are vowels; 'y' is a vowel when the
 NEXT position holds a consonant, else a consonant.
 
 ``stem_trigram_similarity`` is index/MentionEntitiesFrequencyIndex
-.scala:79-116 — char trigrams of the two stems plus the ``$$$ab`` /
-``yz###`` boundary trigrams, |∩| / |∪| (0.0 when both stems are too
-short to yield any trigram; the reference would divide by zero).
+.scala:82-119 — char trigrams of the two stems plus the ``$$$ab`` /
+``yz###`` boundary trigrams, counted with the reference's exact
+asymmetric loop: a SET of the first stem's trigrams, every OCCURRENCE
+of the second stem's trigrams tested against it (repeats in the second
+stem multi-count, so the value can exceed 1.0 and sim(a,b) ≠ sim(b,a)
+in general — both behaviors pinned by tests). 0.0 when neither stem
+yields a trigram (the reference computes NaN there).
 
 Spark surface: Arrow-batched pandas UDFs (never per-row Python) — a
 scalar string→string ``stem_udf`` and the pairwise similarity UDF used
@@ -160,16 +164,39 @@ def _trigrams(a: str) -> set[str]:
 
 
 def stem_trigram_similarity(aa: str, bb: str) -> float:
-    """MentionEntitiesFrequencyIndex.scala:79-116: trigram Jaccard over
-    the Porter-stemmed strings, with the reference's boundary trigrams.
-    Too-short pair (no trigrams on either side) → 0.0 (the reference
-    divides by zero there)."""
-    ta = _trigrams(porter_stem(aa))
-    tb = _trigrams(porter_stem(bb))
-    union = len(ta | tb)
+    """MentionEntitiesFrequencyIndex.scala:82-119: trigram similarity over
+    the Porter-stemmed strings, with the reference's boundary trigrams —
+    replicating its exact (asymmetric, occurrence-counted) loop. The first
+    string contributes a SET of trigrams; every trigram OCCURRENCE of the
+    second string is then tested against that set, so a repeated trigram
+    in ``bb``'s stem counts once per position in both the intersection and
+    the union. Consequences preserved from the reference: the function is
+    not symmetric, and it can exceed 1.0 (stem 'banana' vs itself → 6/5).
+    Too-short pair (no trigrams on either side) → 0.0 where the reference
+    computes 0.0/0 (NaN); NaN would poison downstream comparisons, so the
+    zero-trigram case is the one deliberate deviation."""
+    a = porter_stem(aa)
+    b = porter_stem(bb)
+    ta = _trigrams(a)
+    inter = 0
+    union = len(ta)
+    for i in range(2, len(b)):
+        if b[i - 2: i + 1] in ta:
+            inter += 1
+        else:
+            union += 1
+    if len(b) >= 2:
+        if "$$$" + b[0] + b[1] in ta:
+            inter += 1
+        else:
+            union += 1
+        if b[-2] + b[-1] + "###" in ta:
+            inter += 1
+        else:
+            union += 1
     if union == 0:
         return 0.0
-    return len(ta & tb) / union
+    return inter / union
 
 
 def stem_udf():

@@ -192,3 +192,105 @@ def test_linking_accuracy_end_to_end_on_aida(spark):
     metrics = evaluate.linking_accuracy(assign, gold, mentions)
     assert metrics["n_mentions"] == 8
     assert metrics["micro_accuracy"] == 1.0
+
+
+def _title_index(spark, rows):
+    return spark.createDataFrame(rows, "title string, entity_id long")
+
+
+def test_title_index_resolution_matches_aida_numeric_gold(spark):
+    """VERDICT r4 #3 acceptance bar: with a (title → id) index —
+    the EntNameToIDIndex.scala:16-46 analogue — the resolved ids must
+    equal AIDA's numeric field-5 gold end-to-end, exactly the agreement
+    the reference asserts at AIDA.scala:75-82."""
+    idx = _title_index(spark, [
+        ("England", 101), ("Pakistan", 102), ("Lord%27s", 103),
+        ("New_York", 104), ("Karachi", 105),
+    ])
+    # numeric gold (no index)
+    _, base = datasets.aida_mentions_gold(spark, FIXTURE)
+    # index-resolved gold
+    mentions, gold = datasets.aida_mentions_gold(
+        spark, FIXTURE, title_index=idx
+    )
+    resolved = {
+        (r["conv_id"], r["surface"]): r["entity"] for r in gold.collect()
+    }
+    numeric = {
+        (r["conv_id"], r["surface"]): r["entity"] for r in base.collect()
+    }
+    assert resolved == numeric  # 8 mentions, ids from the INDEX
+    assert gold.where("NOT entity_resolved").count() == 0
+    assert mentions.count() == 8
+    # the scala-mirror diagnostic agrees: all resolved, zero disagreement
+    rep = datasets.title_resolution_report(base, idx)
+    assert rep == {
+        "n_gold": 8, "n_resolved": 8, "n_unresolved": 0, "n_disagree": 0
+    }
+
+
+def test_title_index_redirect_chase_and_unresolved_drop(spark):
+    """getTitleId(getCanonicalURL(title)): a title only reachable via
+    the redirect dim still resolves; titles the index cannot resolve
+    drop their mentions (the NOT_CANONICAL_TITLE path, AIDA.scala:81-87)
+    and the report counts them."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    # no New_York key — only reachable through the redirect alias
+    idx = _title_index(spark, [
+        ("England", 101), ("Pakistan", 102), ("Lord%27s", 103),
+        ("New_York_City", 9104), ("Karachi", 105),
+    ])
+    redirects = spark.createDataFrame(
+        [("New_York", "New_York_City")], "alias string, canonical string"
+    )
+    mentions, gold = datasets.aida_mentions_gold(
+        spark, FIXTURE, title_index=idx, redirects=redirects
+    )
+    g = {(r["conv_id"], r["surface"]): r["entity"] for r in gold.collect()}
+    assert g[("2 testa Politics", "new york")] == 9104  # chased + resolved
+    assert len(g) == 8 and mentions.count() == 8
+    # WITHOUT the redirect table, New_York is unresolved: its mention
+    # drops from both outputs and the report shows the miss
+    m2, g2 = datasets.aida_mentions_gold(spark, FIXTURE, title_index=idx)
+    assert g2.count() == 7 and m2.count() == 7
+    _, base = datasets.aida_mentions_gold(spark, FIXTURE)
+    rep = datasets.title_resolution_report(base, idx)
+    assert rep["n_unresolved"] == 1 and rep["n_disagree"] == 0
+    # WITH the chase the title resolves, but to 9104 ≠ numeric gold 104:
+    # exactly the reference's 'EEEEEEEEROR : ent != gtruth' diagnostic
+    rep2 = datasets.title_resolution_report(base, idx, redirects)
+    assert rep2["n_unresolved"] == 0 and rep2["n_disagree"] == 1
+
+
+def test_xml_gold_title_index_upgrades_hashed_ids(spark):
+    """xml adapter with an index: resolved titles get REAL ids, misses
+    keep the hashed fallback and are flagged."""
+    xml = str(Path(__file__).resolve().parent / "fixtures" / "msnbc_sample.xml")
+    _, base = datasets.load_xml_gold(spark, xml)
+    titles = sorted(
+        r["entity_title"] for r in
+        base.select("entity_title").distinct().collect()
+    )
+    idx = _title_index(spark, [(titles[0], 777001)])
+    _, gold = datasets.load_xml_gold(spark, xml, title_index=idx)
+    rows = gold.collect()
+    for r in rows:
+        if r["entity_title"] == titles[0]:
+            assert r["entity"] == 777001 and r["entity_resolved"]
+        else:
+            assert r["entity"] < (1 << 31) and not r["entity_resolved"]
+
+
+def test_hashed_id_collision_check(spark):
+    """hashed_id_collisions: 0 on the faithful fixture space; a planted
+    two-titles-one-id table reports exactly 1."""
+    _, gold = datasets.load_xml_gold(
+        spark, str(Path(__file__).resolve().parent / "fixtures" / "msnbc_sample.xml")
+    )
+    assert datasets.hashed_id_collisions(gold) == 0
+    planted = spark.createDataFrame(
+        [("a", "T1", 7), ("b", "T2", 7), ("c", "T3", 8)],
+        "conv_id string, entity_title string, entity long",
+    )
+    assert datasets.hashed_id_collisions(planted) == 1

@@ -89,3 +89,36 @@ def test_convergence_report(spark):
     assert rep["3-10"]["pct_converged"] == 1.0
     assert rep["11+"]["max_iters"] == 15
     assert rep["11+"]["pct_converged"] == 0.0
+
+
+def test_linking_accuracy_reports_multilabel_surfaces(spark):
+    """ADVICE r4: a surface annotated with TWO gold entities in one
+    document collapses to the min label; the metric must surface the
+    collapsed-group count so the divergence from per-occurrence grading
+    (GlobalStats.scala:236-248) is visible, not silent."""
+    from pboh_spark import evaluate
+
+    gold = spark.createDataFrame(
+        [("c", 0, "s", 1), ("c", 0, "s", 2), ("c", 0, "t", 3)],
+        "conv_id string, turn_idx int, surface string, entity long",
+    )
+    mentions = spark.createDataFrame(
+        [("c", 0, 10, "s"), ("c", 0, 11, "s"), ("c", 0, 12, "t")],
+        "conv_id string, turn_idx int, mention_id long, ngram string",
+    )
+    assign = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "mention_id long, entity long"
+    )
+    m = evaluate.linking_accuracy(assign, gold, mentions)
+    # surface 's' grades against min(1,2)=1: mention 11's answer 2 is
+    # "wrong" under the collapse even though it matches a gold label
+    assert m["n_mentions"] == 3
+    assert abs(m["micro_accuracy"] - 2 / 3) < 1e-12
+    assert m["n_multilabel_surfaces"] == 1
+    # single-label gold: counter stays 0 (mention 11 is genuinely wrong
+    # now — 2 vs the only gold label 1 — so accuracy stays 2/3)
+    clean = evaluate.linking_accuracy(
+        assign, gold.where("entity <> 2"), mentions
+    )
+    assert clean["n_multilabel_surfaces"] == 0
+    assert abs(clean["micro_accuracy"] - 2 / 3) < 1e-12

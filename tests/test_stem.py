@@ -72,11 +72,31 @@ def test_trigram_similarity_reference_shape():
     assert 0.0 < s < 1.0
 
 
-def test_trigram_similarity_is_jaccard():
-    # hand check: stems "cat" vs "cart" (no suffix rules fire)
-    # cat:  {cat, $$$ca, at###}; cart: {car, art, $$$ca, rt###}
-    # ∩ = {$$$ca}, ∪ = 6 → 1/6
+def test_trigram_similarity_occurrence_counted():
+    # hand check, no repeated trigrams → matches plain Jaccard:
+    # cat:  {cat, $$$ca, at###}; cart occurrences: car, art, $$$ca, rt###
+    # ∩ = 1 ($$$ca), ∪ = 3 + 3 misses = 6 → 1/6
     assert abs(stem_trigram_similarity("cat", "cart") - 1 / 6) < 1e-12
+
+
+def test_trigram_similarity_reference_multicount_and_asymmetry():
+    # MentionEntitiesFrequencyIndex.scala:96-118 counts each trigram
+    # OCCURRENCE of the second string against the SET of the first, so
+    # repeats in the second stem multi-count and the value can exceed 1:
+    # banana (stem: banana) vs itself — A = {ban,ana,nan,$$$ba,na###}
+    # (5); b's occurrences: ban,ana,nan,ana + 2 boundary = 6 hits → 6/5.
+    assert porter_stem("banana") == "banana"
+    assert abs(stem_trigram_similarity("banana", "banana") - 6 / 5) < 1e-12
+    # and the function is asymmetric when only one side has repeats:
+    # sim(banana, bana): A=5; b occurrences ban,ana,$$$ba,na### all hit
+    # → 4/5.  sim(bana, banana): A={ban,ana,$$$ba,na###} (4); b's 6
+    # occurrences: 5 hit, nan misses → 5/(4+1) = 1.0.
+    assert porter_stem("bana") == "bana"
+    assert abs(stem_trigram_similarity("banana", "bana") - 4 / 5) < 1e-12
+    assert abs(stem_trigram_similarity("bana", "banana") - 1.0) < 1e-12
+    assert stem_trigram_similarity("banana", "bana") != stem_trigram_similarity(
+        "bana", "banana"
+    )
 
 
 def test_stem_tokens_array_udf(spark):

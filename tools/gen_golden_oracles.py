@@ -79,6 +79,12 @@ SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("ngram", "VARCHAR"), ("next_ngram", "VARCHAR"),
         ("stem", "VARCHAR"), ("sim", "DOUBLE"),
     ],
+    "gold_aida_eval": [
+        ("conv_id", "VARCHAR"), ("surface", "VARCHAR"),
+        ("resolved_entity", "BIGINT"), ("numeric_gold", "BIGINT"),
+        ("agree", "BOOLEAN"), ("argmax_entity", "BIGINT"),
+        ("correct", "BOOLEAN"),
+    ],
 }
 
 _RUNNER = r"""
