@@ -1,9 +1,11 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed
 metadata, with the Spark-side plumbing (schema, partitioning, Arrow batch
-shape) real and tested; the codec step itself is stubbed — this container
-ships no image/audio libraries, so decode produces a deterministic fake
-(seeded from the content hash) unless ``strict=True``, which raises
-NotImplementedError where a real libjpeg/ffmpeg call would go.
+shape) real and tested. The default codec is a deterministic fake
+(seeded from the content hash — this container ships no image/audio
+libraries). ``strict=True`` demands a real codec: image decode/resize go
+through PIL when it is importable on the executors (import-guarded), and
+raise NotImplementedError otherwise — likewise audio/video, whose
+libraries (librosa/ffmpeg) would plug in at the same marked sites.
 
 Pattern: ``mapInPandas`` over a repartitioned DataFrame — each Arrow
 batch is a pandas DataFrame whose binary column is bytes; feature
@@ -65,6 +67,18 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def _pil_image():
+    """PIL's Image module when installed, else None — the import guard
+    that turns ``strict=True`` from a documented stub into a real codec
+    where the environment provides one (this container does not)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in for the codec: features seeded from the
     content digest (stable across partitioning/executors)."""
@@ -82,21 +96,43 @@ FEATURES_SCHEMA = (
 def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Decode → fixed-width feature vector via mapInPandas (Arrow batches).
 
-    ``strict=True`` raises NotImplementedError at the decode site — the
-    marker for where PIL/librosa/ffmpeg plugs in; the surrounding Spark
-    plumbing (schema, batching, shuffle) is the tested, real part."""
+    ``strict=True`` demands a REAL codec: image rows decode through PIL
+    when it is importable on the executor (grayscale 4×4 thumbnail →
+    the 16-dim feature vector, deterministic), and raise
+    NotImplementedError otherwise — likewise for audio/video, whose
+    codecs (librosa/ffmpeg) this container never ships. The surrounding
+    Spark plumbing (schema, batching, shuffle) is identical on both
+    paths and is the tested, real part."""
+
+    def _strict_decode(kind: str, payload: bytes) -> np.ndarray:
+        Image = _pil_image()
+        if kind == "image" and Image is not None:
+            import io  # noqa: PLC0415
+
+            img = Image.open(io.BytesIO(payload)).convert("L")
+            side = int(np.sqrt(FEATURE_DIM))
+            px = np.asarray(
+                img.resize((side, side)), dtype=np.float32
+            ).ravel()
+            return px / 255.0
+        raise NotImplementedError(
+            f"real {kind} decode requires "
+            + ("PIL" if kind == "image" else "librosa/ffmpeg")
+            + " (not installed in this container)"
+        )
 
     def fn(batches):
         for pdf in batches:
             if strict:
-                raise NotImplementedError(
-                    "real media decode requires PIL/librosa/ffmpeg "
-                    "(not installed in this container)"
-                )
-            feats = [
-                _fake_decode(bytes(p), FEATURE_DIM).tolist()
-                for p in pdf["payload"]
-            ]
+                feats = [
+                    _strict_decode(k, bytes(p)).tolist()
+                    for k, p in zip(pdf["kind"], pdf["payload"])
+                ]
+            else:
+                feats = [
+                    _fake_decode(bytes(p), FEATURE_DIM).tolist()
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -115,23 +151,35 @@ RESIZE_SCHEMA = "media_id bigint, width int, height int, payload binary"
 def resize_images(
     media: DataFrame, width: int = 64, height: int = 64, strict: bool = False
 ) -> DataFrame:
-    """Image resize stub: output schema/partitioning real, pixels fake
-    (content-hash-seeded). Non-image rows are filtered JVM-side before
-    Python ever sees them (predicate pushdown keeps the Arrow traffic
-    image-only)."""
+    """Image resize: output schema/partitioning real; pixels fake
+    (content-hash-seeded) by default, REAL grayscale resize via PIL under
+    ``strict=True`` when PIL is importable (NotImplementedError where it
+    isn't — this container ships no image libs). Non-image rows are
+    filtered JVM-side before Python ever sees them (predicate pushdown
+    keeps the Arrow traffic image-only)."""
+
+    def _strict_resize(payload: bytes) -> bytes:
+        Image = _pil_image()
+        if Image is None:
+            raise NotImplementedError("real resize requires PIL")
+        import io  # noqa: PLC0415
+
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        return img.resize((width, height)).tobytes()
 
     def fn(batches):
         for pdf in batches:
             if strict:
-                raise NotImplementedError("real resize requires PIL")
-            out = [
-                bytes(
-                    _fake_decode(bytes(p), width * height)
-                    .astype(np.uint8)
-                    .tobytes()
-                )
-                for p in pdf["payload"]
-            ]
+                out = [_strict_resize(bytes(p)) for p in pdf["payload"]]
+            else:
+                out = [
+                    bytes(
+                        _fake_decode(bytes(p), width * height)
+                        .astype(np.uint8)
+                        .tobytes()
+                    )
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -105,7 +105,10 @@ def _ppl_conv(
     gold_ent: np.ndarray,    # (L,) gold entity ids
     gold_idx: np.ndarray,    # (L,) index of gold in candidate row, -1 absent
     lam_map: dict[int, float],      # packed pair -> effective lambda
-    train_keys: set[int],           # packed pairs with a parameter row
+    train_keys: np.ndarray,         # SORTED int64 packed pairs with a
+                                    # parameter row (built once per group
+                                    # in _pgrad_kernel — no per-call
+                                    # set/fromiter conversion)
     w: ScorerWeights,
     lam_const: float = LAMBDA_FLOOR,
 ) -> tuple[float, dict, dict, int]:
@@ -173,13 +176,13 @@ def _ppl_conv(
     # g·pw·coeff[row,a] at key (cand a of row, gold of j) for unmasked
     # neighbors j whose packed key has a parameter row
     lam_g: dict[int, float] = {}
-    if train_keys:
+    if train_keys.size:
         k3 = keys[idx]                                   # (n, K, L)
         m3 = mask[idx][:, None, :] > 0.0                 # neighbor guard
         sel = (
             m3
             & (coeff[:, :, None] != 0.0)
-            & np.isin(k3, np.fromiter(train_keys, dtype=np.int64))
+            & np.isin(k3, train_keys)
         )
         if sel.any():
             flat_keys = k3[sel]
@@ -199,15 +202,15 @@ def _pgrad_kernel(w: ScorerWeights, lam_const: float):
             return pd.DataFrame(columns=cols)
         conv = cand["conv_id"].iloc[0]
         lam_map: dict[int, float] = {}
-        train_keys: set[int] = set()
+        train_keys = np.empty(0, dtype=np.int64)
         if len(lam):
             pk = _pack(
                 lam["e1"].to_numpy(np.int64), lam["e2"].to_numpy(np.int64)
             )
             lam_map = dict(zip(pk, lam["lam_eff"].to_numpy(np.float64)))
-            train_keys = set(
-                int(k) for k, t in zip(pk, lam["trainable"].to_numpy())
-                if bool(t)
+            # vectorized once per group; sorted for np.isin's binary path
+            train_keys = np.unique(
+                pk[lam["trainable"].to_numpy(np.bool_)]
             )
         cand = cand.sort_values(["mention_id", "entity"])
         mids = cand["mention_id"].unique()

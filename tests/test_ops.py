@@ -145,14 +145,50 @@ def test_multimodal_plumbing(spark):
     a = {r["media_id"]: tuple(r["features"]) for r in feats.collect()}
     b = {r["media_id"]: tuple(r["features"]) for r in f2.collect()}
     assert a == b
-    # strict mode marks the unimplemented codec
+    # strict mode marks the unimplemented codec (audio/video NEVER have
+    # a real codec in any environment — image may, via PIL)
     with pytest.raises(Exception, match="NotImplementedError|decode"):
-        multimodal.extract_features(media, strict=True).count()
+        multimodal.extract_features(
+            media.where("kind = 'audio'"), strict=True
+        ).count()
     assert multimodal.resize_images(media).count() == media.where(
         "kind = 'image'"
     ).count()
     fr = multimodal.sample_frames(media, every_n=10)
     assert fr.count() > 0
+
+
+def test_multimodal_strict_image_paths(spark):
+    """strict=True image decode/resize: REAL via PIL when importable
+    (round-trips a PNG built by PIL itself), NotImplementedError
+    otherwise — both branches of the import guard covered, whichever
+    environment runs the suite."""
+    media = multimodal.synth_media(spark, 6).where("kind = 'image'")
+    if multimodal._pil_image() is None:
+        with pytest.raises(Exception, match="NotImplementedError|PIL"):
+            multimodal.extract_features(media, strict=True).count()
+        with pytest.raises(Exception, match="NotImplementedError|PIL"):
+            multimodal.resize_images(media, strict=True).count()
+        return
+    # PIL present: build a tiny REAL png payload and run both paths
+    import io
+
+    Image = multimodal._pil_image()
+    buf = io.BytesIO()
+    Image.new("L", (8, 8), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    real = spark.createDataFrame(
+        [(1, "image", bytearray(png),
+          {"width": 8, "height": 8, "sample_rate": None,
+           "n_frames": None, "codec": "png"})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.extract_features(real, strict=True).first()
+    assert len(row["features"]) == multimodal.FEATURE_DIM
+    # constant-gray 8x8 → every thumbnail pixel is 128/255
+    assert all(abs(v - 128 / 255) < 1e-6 for v in row["features"])
+    rz = multimodal.resize_images(real, width=4, height=4, strict=True).first()
+    assert len(bytes(rz["payload"])) == 16
 
 
 def test_ivf_recall_vs_bruteforce(spark, emb):

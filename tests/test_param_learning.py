@@ -38,7 +38,7 @@ def _tiny_conv():
         int(_pack(np.array([1]), np.array([10]))[0]): 0.2,
         int(_pack(np.array([2]), np.array([10]))[0]): 0.1,
     }
-    train_keys = set(lam_map)
+    train_keys = np.array(sorted(lam_map), dtype=np.int64)
     return ents, rho_w, logpop, surfaces, gold_ent, gold_idx, lam_map, train_keys
 
 
