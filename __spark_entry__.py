@@ -1311,6 +1311,34 @@ def link_stem_trigram(spark, sf_dir):
     )
 
 
+def stat_rank_histogram(spark, sf_dir):
+    """Candidate-rank histogram — the ClueWeb/Google eval harness
+    (eval/cweb/GlobalCountersCWEB.scala:9-63, driven by
+    RunLoopyAgainstAllGoogleClweb.scala:221-275) as one join pass
+    (evaluate.candidate_rank_report). Queries are derived
+    deterministically from ``part``: every brand surface paired with a
+    pseudo-gold supplier id (p_partkey % 23 — spread across in-list
+    ranks AND absent ids, populating the rank buckets and the
+    gold-not-in-candidates counter), plus every p_type surface (never an
+    anchor name ⇒ the name_not_in_index counter). The p̂(e|m) index is
+    the UNPRUNED name_stats over the derived anchors, so every reachable
+    rank counts as its true place."""
+    from pboh_spark import evaluate, stats
+
+    part = _t(spark, sf_dir, "part")
+    queries = part.select(
+        F.lower(F.col("p_brand")).alias("mention"),
+        (F.col("p_partkey") % 23).cast("long").alias("gold_entity"),
+    ).unionByName(
+        part.select(
+            F.lower(F.col("p_type")).alias("mention"),
+            F.lit(1).cast("long").alias("gold_entity"),
+        )
+    )
+    ns = stats.name_stats(_anchors(spark, sf_dir), top_k=1 << 30)
+    return evaluate.candidate_rank_report(queries, ns)
+
+
 def gold_aida_eval(spark, sf_dir):
     """The gold-dataset adapter subsystem under the driver gate
     (VERDICT r4 #5): parse the committed AIDA-CoNLL fixture
@@ -1560,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (incl. ann_ivf_topk, whose n_probe default changed in r4 AFTER its
         # last driver row — ADVICE r4) --
         "gold_aida_eval": gold_aida_eval,
+        "stat_rank_histogram": stat_rank_histogram,
         "dedup_embedding_lsh_pairs": dedup_embedding_lsh_pairs,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -1852,6 +1881,44 @@ def oracle_sql() -> dict[str, str]:
                round(freq::DOUBLE / total_freq, 6) AS prob,
                rank::INT AS rank
         FROM ranked WHERE rank <= 5
+    """
+    rank_histogram = f"""
+        WITH anchors AS ({_ANCHORS_SQL}),
+        freq AS (
+            SELECT name, entity, count(*)::BIGINT AS freq
+            FROM anchors GROUP BY name, entity
+        ),
+        ranked AS (
+            SELECT name, entity,
+                   row_number() OVER (
+                       PARTITION BY name ORDER BY freq DESC, entity ASC) AS rank
+            FROM freq
+        ),
+        queries AS (
+            SELECT lower(p_brand) AS mention,
+                   (p_partkey % 23)::BIGINT AS gold_entity FROM part
+            UNION ALL
+            SELECT lower(p_type) AS mention, 1::BIGINT AS gold_entity FROM part
+        ),
+        known AS (SELECT DISTINCT name FROM ranked),
+        bucketed AS (
+            SELECT CASE
+                WHEN k.name IS NULL THEN 'name_not_in_index'
+                WHEN r.rank IS NULL THEN 'gold_not_in_candidates'
+                WHEN r.rank = 1 THEN 'rank_1'
+                WHEN r.rank = 2 THEN 'rank_2'
+                WHEN r.rank = 3 THEN 'rank_3'
+                WHEN r.rank <= 8 THEN 'rank_4_8'
+                WHEN r.rank <= 16 THEN 'rank_9_16'
+                WHEN r.rank <= 32 THEN 'rank_17_32'
+                WHEN r.rank <= 64 THEN 'rank_33_64'
+                ELSE 'rank_gt_64' END AS bucket
+            FROM queries q
+            LEFT JOIN known k ON q.mention = k.name
+            LEFT JOIN ranked r
+              ON q.mention = r.name AND q.gold_entity = r.entity
+        )
+        SELECT bucket, count(*)::BIGINT AS n FROM bucketed GROUP BY bucket
     """
     name_stats_redirected = f"""
         WITH anchors AS ({_ANCHORS_SQL}),
@@ -2752,6 +2819,7 @@ def oracle_sql() -> dict[str, str]:
         "stat_word_freq": word_freq,
         "stat_argmax_entity": argmax_entity,
         "stat_name_stats": name_stats,
+        "stat_rank_histogram": rank_histogram,
         "stat_name_stats_redirected": name_stats_redirected,
         "stat_entity_stats": entity_stats,
         "stat_cooccurrence": cooccurrence,

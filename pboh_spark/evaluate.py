@@ -324,3 +324,62 @@ def size_bucketed_f1(
         r.alias("recall"),
         (2 * p * r / F.greatest(p + r, F.lit(1e-12))).alias("f1"),
     )
+
+
+def candidate_rank_report(queries: DataFrame, name_stats: DataFrame) -> DataFrame:
+    """Candidate-rank diagnostics — the ClueWeb/Google eval harness'
+    GlobalCountersCWEB recast (eval/cweb/GlobalCountersCWEB.scala:9-63,
+    driven per-annotation by RunLoopyAgainstAllGoogleClweb.scala:221-275):
+    for each (mention, gold_entity) query, where does the gold land in
+    the p̂(e|m) candidate list sorted by probability?
+
+    ``queries``: (mention, gold_entity) — one row per gold annotation.
+    ``name_stats``: the stats.name_stats index; pass it UNPRUNED
+    (``top_k`` large) if the >64 bucket should be reachable — a pruned
+    index folds deeper ranks into ``gold_not_in_candidates``, exactly as
+    it would at serving time.
+
+    Returns (bucket, n): the reference's counters as one aggregated
+    DataFrame — ``name_not_in_index`` (≙ numNamesNotInCandidatesIndex),
+    ``gold_not_in_candidates`` (≙ numGoogleEntsNotInCandidatesList), and
+    the 1/2/3/4-8/9-16/17-32/33-64/>64 place buckets (1-based ranks; the
+    reference's 0-based ``index`` thresholds map to the same places).
+    Buckets partition the queries, so the counts sum to the query count
+    (the reference's separate freebase→wiki mapping counters have no
+    analogue here — SURVEY §1.1 declares that index out of scope).
+    Deterministic: name_stats ranks tie-break on entity id.
+
+    Scale shape: one distinct-projection + two hash equi-joins against
+    the index (broadcastable when the index fits) + one tiny agg —
+    nothing driver-side; the reference's serial per-annotation loop over
+    an in-heap index becomes a single join pass."""
+    known = (
+        name_stats.select(F.col("name").alias("mention"))
+        .distinct()
+        .withColumn("__known", F.lit(True))
+    )
+    hit = name_stats.select(
+        F.col("name").alias("mention"),
+        F.col("entity").alias("gold_entity"),
+        "rank",
+    )
+    j = queries.join(known, "mention", "left").join(
+        hit, ["mention", "gold_entity"], "left"
+    )
+    bucket = (
+        F.when(F.col("__known").isNull(), "name_not_in_index")
+        .when(F.col("rank").isNull(), "gold_not_in_candidates")
+        .when(F.col("rank") == 1, "rank_1")
+        .when(F.col("rank") == 2, "rank_2")
+        .when(F.col("rank") == 3, "rank_3")
+        .when(F.col("rank") <= 8, "rank_4_8")
+        .when(F.col("rank") <= 16, "rank_9_16")
+        .when(F.col("rank") <= 32, "rank_17_32")
+        .when(F.col("rank") <= 64, "rank_33_64")
+        .otherwise("rank_gt_64")
+    )
+    return (
+        j.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )

@@ -122,3 +122,34 @@ def test_linking_accuracy_reports_multilabel_surfaces(spark):
     )
     assert clean["n_multilabel_surfaces"] == 0
     assert abs(clean["micro_accuracy"] - 2 / 3) < 1e-12
+
+
+def test_candidate_rank_report_buckets(spark):
+    """GlobalCountersCWEB recast: hand-built index where the gold lands
+    at known places; every counter path covered (OOV name, known name
+    with absent gold, exact rank buckets incl. the 0-based → 1-based
+    threshold mapping at the 3/4 and 8/9 boundaries)."""
+    from pboh_spark import evaluate, stats
+
+    # anchors: name 'a' has 10 candidates with freq 10..1 (entity 1 is
+    # most frequent → rank 1, entity 10 → rank 10)
+    rows = [("d", "a", e) for e in range(1, 11) for _ in range(11 - e)]
+    anchors = spark.createDataFrame(
+        rows, "doc_id string, name string, entity long"
+    )
+    ns = stats.name_stats(anchors, top_k=1 << 30)
+    queries = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", 4), ("a", 8), ("a", 9),
+         ("a", 99), ("zz", 1)],
+        "mention string, gold_entity long",
+    )
+    got = {
+        r["bucket"]: r["n"]
+        for r in evaluate.candidate_rank_report(queries, ns).collect()
+    }
+    assert got == {
+        "rank_1": 1, "rank_3": 1, "rank_4_8": 2, "rank_9_16": 1,
+        "gold_not_in_candidates": 1, "name_not_in_index": 1,
+    }
+    # counts partition the queries
+    assert sum(got.values()) == 7
