@@ -1367,11 +1367,14 @@ def gold_aida_eval(spark, sf_dir):
     red = spark.createDataFrame(
         [("New_York", "New_York_City")], "alias string, canonical string"
     )
-    # numeric field-5 gold (no index) for the agreement column
-    _, numeric = datasets.aida_mentions_gold(spark, fixture)
-    mentions, gold = datasets.aida_mentions_gold(
-        spark, fixture, title_index=idx, redirects=red
-    )
+    # ONE parse: numeric field-5 gold, then the index+redirect
+    # resolution applied on top (entity ← index id, numeric rides along
+    # for the agreement column) — parsing twice would double the
+    # wholetext explode/split pipeline for no information
+    mentions, numeric = datasets.aida_mentions_gold(spark, fixture)
+    gold = datasets.resolve_entity_titles(
+        numeric.withColumn("numeric_gold", F.col("entity")), idx, red
+    ).where(F.col("entity_resolved"))
     anchors = gold.select(
         F.col("surface").alias("name"), "entity",
         F.col("conv_id").alias("doc_id"),
@@ -1381,12 +1384,9 @@ def gold_aida_eval(spark, sf_dir):
     )
     assign = resolve.resolve_argmax(cand)
     g = gold.select(
-        "conv_id", "surface", F.col("entity").alias("resolved_entity")
-    ).join(
-        numeric.select(
-            "conv_id", "surface", F.col("entity").alias("numeric_gold")
-        ),
-        ["conv_id", "surface"],
+        "conv_id", "surface",
+        F.col("entity").alias("resolved_entity"),
+        "numeric_gold",
     ).distinct()  # gold is per-annotation; repeated same-surface
     # annotations in one doc must not fan the mention join
     per_mention = mentions.select("conv_id", "surface", "mention_id").join(
