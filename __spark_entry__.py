@@ -1315,28 +1315,39 @@ def stat_rank_histogram(spark, sf_dir):
     """Candidate-rank histogram — the ClueWeb/Google eval harness
     (eval/cweb/GlobalCountersCWEB.scala:9-63, driven by
     RunLoopyAgainstAllGoogleClweb.scala:221-275) as one join pass
-    (evaluate.candidate_rank_report). Queries are derived
-    deterministically from ``part``: every brand surface paired with a
-    pseudo-gold supplier id (p_partkey % 23 — spread across in-list
-    ranks AND absent ids, populating the rank buckets and the
-    gold-not-in-candidates counter), plus every p_type surface (never an
-    anchor name ⇒ the name_not_in_index counter). The p̂(e|m) index is
-    the UNPRUNED name_stats over the derived anchors, so every reachable
-    rank counts as its true place."""
+    (evaluate.candidate_rank_report), INCLUDING the external-id
+    pre-counters: gold arrives as a Freebase-style external id that must
+    resolve through an (ext_id → entity) mapping dim first
+    (index/FreebaseWikipIndex.scala:14-74 ≙
+    datasets.freebase_wiki_mapping's output shape). Queries derive
+    deterministically from ``part``: every brand surface with
+    gold_ext_id 'm.'||(p_partkey % 23) — spread across mappable ids at
+    in-list ranks, mappable-but-absent ids, and unmappable ids
+    (populating the rank buckets, gold_not_in_candidates, and
+    gold_id_unmappable) — plus every p_type surface (never an anchor
+    name ⇒ name_not_in_index / name_and_id_both_missing). The mapping
+    dim is 'm.'||s_suppkey → s_suppkey over ``supplier``; the p̂(e|m)
+    index is the UNPRUNED name_stats over the derived anchors, so every
+    reachable rank counts as its true place."""
     from pboh_spark import evaluate, stats
 
     part = _t(spark, sf_dir, "part")
+    ext = F.concat(
+        F.lit("m."), (F.col("p_partkey") % 23).cast("string")
+    ).alias("gold_ext_id")
     queries = part.select(
-        F.lower(F.col("p_brand")).alias("mention"),
-        (F.col("p_partkey") % 23).cast("long").alias("gold_entity"),
+        F.lower(F.col("p_brand")).alias("mention"), ext
     ).unionByName(
-        part.select(
-            F.lower(F.col("p_type")).alias("mention"),
-            F.lit(1).cast("long").alias("gold_entity"),
-        )
+        part.select(F.lower(F.col("p_type")).alias("mention"), ext)
+    )
+    mapping = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("m."), F.col("s_suppkey").cast("string")).alias(
+            "ext_id"
+        ),
+        F.col("s_suppkey").cast("long").alias("entity"),
     )
     ns = stats.name_stats(_anchors(spark, sf_dir), top_k=1 << 30)
-    return evaluate.candidate_rank_report(queries, ns)
+    return evaluate.candidate_rank_report(queries, ns, id_mapping=mapping)
 
 
 def gold_aida_eval(spark, sf_dir):
@@ -1896,14 +1907,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         queries AS (
             SELECT lower(p_brand) AS mention,
-                   (p_partkey % 23)::BIGINT AS gold_entity FROM part
+                   'm.' || (p_partkey % 23)::VARCHAR AS gold_ext_id FROM part
             UNION ALL
-            SELECT lower(p_type) AS mention, 1::BIGINT AS gold_entity FROM part
+            SELECT lower(p_type) AS mention,
+                   'm.' || (p_partkey % 23)::VARCHAR AS gold_ext_id FROM part
+        ),
+        fbmap AS (
+            SELECT 'm.' || s_suppkey::VARCHAR AS ext_id,
+                   s_suppkey::BIGINT AS entity FROM supplier
+        ),
+        mapped AS (
+            SELECT q.mention, m.entity AS gold_entity
+            FROM queries q LEFT JOIN fbmap m ON q.gold_ext_id = m.ext_id
         ),
         known AS (SELECT DISTINCT name FROM ranked),
         bucketed AS (
             SELECT CASE
+                WHEN k.name IS NULL AND q.gold_entity IS NULL
+                    THEN 'name_and_id_both_missing'
                 WHEN k.name IS NULL THEN 'name_not_in_index'
+                WHEN q.gold_entity IS NULL THEN 'gold_id_unmappable'
                 WHEN r.rank IS NULL THEN 'gold_not_in_candidates'
                 WHEN r.rank = 1 THEN 'rank_1'
                 WHEN r.rank = 2 THEN 'rank_2'
@@ -1913,7 +1936,7 @@ def oracle_sql() -> dict[str, str]:
                 WHEN r.rank <= 32 THEN 'rank_17_32'
                 WHEN r.rank <= 64 THEN 'rank_33_64'
                 ELSE 'rank_gt_64' END AS bucket
-            FROM queries q
+            FROM mapped q
             LEFT JOIN known k ON q.mention = k.name
             LEFT JOIN ranked r
               ON q.mention = r.name AND q.gold_entity = r.entity

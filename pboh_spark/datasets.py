@@ -633,3 +633,48 @@ def _main() -> None:
 
 if __name__ == "__main__":
     _main()
+
+
+def freebase_wiki_mapping(
+    fb_rows: DataFrame,
+    title_index: DataFrame,
+    redirects: DataFrame | None = None,
+) -> DataFrame:
+    """External-id → entity-id mapping dim — index/FreebaseWikipIndex
+    .scala:14-74 recast: each external id (a Freebase mid) arrives with
+    one or more candidate wiki titles; titles chase the redirect dim,
+    keep only those the (title, entity_id) index can resolve, and the id
+    maps to the canonical title that appears MOST often among its
+    candidates (:38-66 — multiple titles survive because all but one are
+    disambiguation/list pages; the majority canonical wins). The
+    reference's tie-break is hash-order-dependent; ours is deterministic
+    (max count, then smallest title — the SURVEY §7.3 convention).
+
+    ``fb_rows``: (ext_id, title) — one row per (id, candidate title),
+    i.e. the raw map file after trivial line parsing.
+    Returns (ext_id, entity, title): the dim ``evaluate.
+    candidate_rank_report(id_mapping=...)`` consumes. Shape: one
+    redirect-chase join + one index join + one groupBy — a dim-build
+    job, broadcastable downstream."""
+    t = fb_rows.select("ext_id", F.trim(F.col("title")).alias("title"))
+    if redirects is not None:
+        from pboh_spark.redirects import resolve_redirects
+
+        t = resolve_redirects(t, redirects, col="title")
+    idx = title_index.select(
+        F.trim(F.col("title")).alias("title"),
+        F.col("entity_id").cast("long").alias("entity"),
+    )
+    counted = (
+        t.join(idx, "title")
+        .groupBy("ext_id", "title", "entity")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ext_id").orderBy(F.desc("n"), F.asc("title"))
+    return (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("ext_id", "entity", "title")
+    )

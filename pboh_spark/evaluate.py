@@ -326,7 +326,11 @@ def size_bucketed_f1(
     )
 
 
-def candidate_rank_report(queries: DataFrame, name_stats: DataFrame) -> DataFrame:
+def candidate_rank_report(
+    queries: DataFrame,
+    name_stats: DataFrame,
+    id_mapping: DataFrame | None = None,
+) -> DataFrame:
     """Candidate-rank diagnostics — the ClueWeb/Google eval harness'
     GlobalCountersCWEB recast (eval/cweb/GlobalCountersCWEB.scala:9-63,
     driven per-annotation by RunLoopyAgainstAllGoogleClweb.scala:221-275):
@@ -334,6 +338,16 @@ def candidate_rank_report(queries: DataFrame, name_stats: DataFrame) -> DataFram
     the p̂(e|m) candidate list sorted by probability?
 
     ``queries``: (mention, gold_entity) — one row per gold annotation.
+    With ``id_mapping`` (ext_id, entity — e.g. the Freebase→Wikipedia
+    map of datasets.freebase_wiki_mapping ≙ index/FreebaseWikipIndex
+    .scala:14-74), queries instead carry (mention, gold_ext_id): the
+    external id resolves through the mapping first, and the reference's
+    pre-counters appear as two extra buckets — ``gold_id_unmappable``
+    (≙ numGoogleFreebaseEntitiesNotInWikip, name known) and
+    ``name_and_id_both_missing`` (≙ numBothNameNotInIndexAndFreebNot
+    InWikip); the reference's overlapping numNamesNotInCandidatesIndex
+    equals name_not_in_index + name_and_id_both_missing here, since the
+    buckets partition the queries.
     ``name_stats``: the stats.name_stats index; pass it UNPRUNED
     (``top_k`` large) if the >64 bucket should be reachable — a pruned
     index folds deeper ranks into ``gold_not_in_candidates``, exactly as
@@ -358,6 +372,15 @@ def candidate_rank_report(queries: DataFrame, name_stats: DataFrame) -> DataFram
         .distinct()
         .withColumn("__known", F.lit(True))
     )
+    if id_mapping is not None:
+        queries = queries.join(
+            id_mapping.select(
+                F.col("ext_id").alias("gold_ext_id"),
+                F.col("entity").alias("gold_entity"),
+            ),
+            "gold_ext_id",
+            "left",
+        )
     hit = name_stats.select(
         F.col("name").alias("mention"),
         F.col("entity").alias("gold_entity"),
@@ -366,8 +389,17 @@ def candidate_rank_report(queries: DataFrame, name_stats: DataFrame) -> DataFram
     j = queries.join(known, "mention", "left").join(
         hit, ["mention", "gold_entity"], "left"
     )
+    unmapped = (
+        F.col("gold_entity").isNull()
+        if id_mapping is not None
+        else F.lit(False)
+    )
     bucket = (
-        F.when(F.col("__known").isNull(), "name_not_in_index")
+        F.when(
+            F.col("__known").isNull() & unmapped, "name_and_id_both_missing"
+        )
+        .when(F.col("__known").isNull(), "name_not_in_index")
+        .when(unmapped, "gold_id_unmappable")
         .when(F.col("rank").isNull(), "gold_not_in_candidates")
         .when(F.col("rank") == 1, "rank_1")
         .when(F.col("rank") == 2, "rank_2")

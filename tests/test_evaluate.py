@@ -153,3 +153,69 @@ def test_candidate_rank_report_buckets(spark):
     }
     # counts partition the queries
     assert sum(got.values()) == 7
+
+
+def test_candidate_rank_report_with_id_mapping(spark):
+    """External-id pre-counters (FreebaseWikipIndex path): unmappable
+    ids split by name-known/unknown exactly like the reference's
+    numGoogleFreebaseEntitiesNotInWikip / numBoth counters."""
+    from pboh_spark import evaluate, stats
+
+    anchors = spark.createDataFrame(
+        [("d", "a", 1), ("d", "a", 1), ("d", "a", 2)],
+        "doc_id string, name string, entity long",
+    )
+    ns = stats.name_stats(anchors, top_k=1 << 30)
+    mapping = spark.createDataFrame(
+        [("m.1", 1), ("m.2", 2), ("m.9", 9)], "ext_id string, entity long"
+    )
+    queries = spark.createDataFrame(
+        [("a", "m.1"),    # maps → rank 1
+         ("a", "m.9"),    # maps, entity 9 not a candidate of 'a'
+         ("a", "m.404"),  # unmappable, name known
+         ("zz", "m.404"),  # unmappable AND name unknown
+         ("zz", "m.1")],  # maps, name unknown
+        "mention string, gold_ext_id string",
+    )
+    got = {
+        r["bucket"]: r["n"]
+        for r in evaluate.candidate_rank_report(
+            queries, ns, id_mapping=mapping
+        ).collect()
+    }
+    assert got == {
+        "rank_1": 1, "gold_not_in_candidates": 1,
+        "gold_id_unmappable": 1, "name_and_id_both_missing": 1,
+        "name_not_in_index": 1,
+    }
+
+
+def test_freebase_wiki_mapping_majority_and_redirects(spark):
+    """FreebaseWikipIndex.scala:38-66 recast: candidate titles chase
+    redirects, drop those the title index can't resolve, and the id
+    maps to the MOST FREQUENT canonical (deterministic tie-break:
+    smallest title)."""
+    from pboh_spark import datasets
+
+    idx = spark.createDataFrame(
+        [("Canon_A", 100), ("Canon_B", 200)], "title string, entity_id long"
+    )
+    red = spark.createDataFrame(
+        [("Alias_A", "Canon_A")], "alias string, canonical string"
+    )
+    fb = spark.createDataFrame(
+        [
+            # m.x: Canon_A appears twice (once via redirect), Canon_B once
+            ("m.x", "Canon_A"), ("m.x", "Alias_A"), ("m.x", "Canon_B"),
+            # m.y: tie 1-1 → smallest title (Canon_A) wins
+            ("m.y", "Canon_B"), ("m.y", "Canon_A"),
+            # m.z: only unresolvable titles → absent from the mapping
+            ("m.z", "Disambig_Page"),
+        ],
+        "ext_id string, title string",
+    )
+    m = {
+        r["ext_id"]: (r["entity"], r["title"])
+        for r in datasets.freebase_wiki_mapping(fb, idx, red).collect()
+    }
+    assert m == {"m.x": (100, "Canon_A"), "m.y": (100, "Canon_A")}
