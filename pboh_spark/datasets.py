@@ -1,7 +1,11 @@
-"""Public gold-dataset adapters — AIDA-CoNLL tab format.
+"""Public gold-dataset adapters — all four reference formats: AIDA-CoNLL
+tab files, AQUAINT/MSNBC/ACE04 mentions-XML, GERBIL Problems/ dirs, and
+the Wikipedia held-out validation anchors-per-page dump
+(``load_wikipedia_gold`` / ``load_wikipedia_context`` ←
+eval/datasets/WikipediaDataset.scala:13-95).
 
-Reference parity: eval/datasets/AIDA.scala:12-103 (the same format also
-backs AQUAINT_MSNBC_ACE04.scala:12-97 and GERBIL_MSNBC.scala:13-83):
+AIDA reference parity: eval/datasets/AIDA.scala:12-103 (the same format
+also backs AQUAINT_MSNBC_ACE04.scala:12-97 and GERBIL_MSNBC.scala:13-83):
 * ``-DOCSTART- (docname)`` opens a document; the doc id is the text
   between the parenthesis and the trailing ``)`` (:66-67).
 * a token line whose tab fields mark a mention BEGIN (``\\tB\\t`` and not
@@ -544,10 +548,12 @@ def _main() -> None:
     from pboh_spark.session import get_spark
 
     ap = argparse.ArgumentParser(description="gold-dataset evaluation")
-    ap.add_argument("--format", choices=["aida", "xml", "gerbil"],
+    ap.add_argument("--format",
+                    choices=["aida", "xml", "gerbil", "wikipedia"],
                     required=True)
     ap.add_argument("--path", required=True,
-                    help="AIDA file/dir, mentions XML, or GERBIL Problems/ dir")
+                    help="AIDA file/dir, mentions XML, GERBIL Problems/ "
+                         "dir, or Wikipedia anchors-per-page file")
     ap.add_argument("--split", default=None,
                     help="AIDA doc-name substring filter (testa/testb)")
     ap.add_argument("--anchors", default=None,
@@ -577,11 +583,15 @@ def _main() -> None:
         mentions, gold = load_xml_gold(
             spark, args.path, title_index=tidx, redirects=rdir
         )
+    elif args.format == "wikipedia":
+        # numeric-id format: no titles exist, so --title-index/--redirects
+        # do not apply and the ids are already real
+        mentions, gold = load_wikipedia_gold(spark, args.path)
     else:
         mentions, gold = load_gerbil_gold(
             spark, args.path, title_index=tidx, redirects=rdir
         )
-    hashed_ids = args.format != "aida" and tidx is None
+    hashed_ids = args.format in ("xml", "gerbil") and tidx is None
     if hashed_ids:
         n_coll = hashed_id_collisions(gold)
         if n_coll:
@@ -677,4 +687,120 @@ def freebase_wiki_mapping(
         counted.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .select("ext_id", "entity", "title")
+    )
+
+
+def load_wikipedia_gold(
+    spark: SparkSession, anchors_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Wikipedia held-out validation-set adapter — the 4th and last of
+    the reference's gold-dataset formats
+    (eval/datasets/WikipediaDataset.scala:13-95).
+
+    Anchors file: ONE LINE PER PAGE —
+    ``ids<TAB>x<TAB>m1<TAB>e1<TAB>m2<TAB>e2 ...`` where the numeric page
+    id is the LAST comma-piece of the first field (:34) and the
+    (mention, entity) pairs start at the third field (:38-49 — the
+    0-based loop takes ``(tokens(i-1), tokens(i))`` for even i ≥ 2;
+    a dangling odd token at the end is ignored, mentions lowercase+trim,
+    entities are already numeric Wikipedia ids so no title hashing is
+    involved). Pages with no pairs are dropped (:37 ``tokens.length >
+    1``).
+
+    line-per-page ``spark.read.text`` (NOT wholetext — a full Wikipedia
+    anchors dump is millions of lines and must split across tasks),
+    pairs exploded column-side via posexplode over the tab fields.
+
+    Returns (mentions, gold) in the stack's shapes; ``pos`` preserves
+    pair order within the page."""
+    raw = spark.read.text(anchors_path).select(
+        _unix_lines(F.col("value")).alias("value")
+    )
+    fields = F.split(F.col("value"), "\t")
+    # try_cast, not cast: ANSI mode (Spark 4 default) ABORTS the whole
+    # job on one malformed numeric field; a junk line must drop, not
+    # kill a 10^6-line dump parse
+    page = F.try_element_at(
+        F.split(F.element_at(fields, 1), ","), F.lit(-1)
+    ).try_cast("long")
+    lines = raw.select(
+        page.alias("page_id"), fields.alias("f")
+    ).where(F.col("page_id").isNotNull() & (F.size("f") >= 3))
+    tok = F.posexplode(F.col("f"))
+    m = (
+        lines.select("page_id", F.col("f"), tok.alias("pos0", "tok"))
+        # entity tokens sit at even 0-based positions ≥ 2; the mention is
+        # the immediately preceding field (1-based element_at == pos0)
+        .where((F.col("pos0") >= 2) & (F.col("pos0") % 2 == 0))
+        .select(
+            F.col("page_id").cast("string").alias("conv_id"),
+            (F.col("pos0") / 2).cast("int").alias("pos"),
+            F.trim(
+                F.lower(F.try_element_at(F.col("f"), F.col("pos0")))
+            ).alias("ngram"),
+            F.col("tok").try_cast("long").alias("entity"),
+        )
+        .where((F.col("ngram") != "") & F.col("entity").isNotNull())
+    )
+    mentions = m.select(
+        "conv_id",
+        F.lit(0).alias("turn_idx"),
+        F.xxhash64("conv_id", "pos", "ngram").alias("mention_id"),
+        "ngram",
+        F.col("ngram").alias("surface"),
+        "pos",
+    )
+    gold = m.select(
+        "conv_id",
+        F.lit(0).alias("turn_idx"),
+        F.col("ngram").alias("surface"),
+        "entity",
+        # numeric-id format: no title string exists; NULL keeps the gold
+        # schema aligned with the other three adapters
+        F.lit(None).cast("string").alias("entity_title"),
+    )
+    return mentions, gold
+
+
+def load_wikipedia_context(
+    spark: SparkSession, context_path: str, pages: DataFrame
+) -> DataFrame:
+    """The validation set's one-doc-per-line plain-text dump
+    (WikipediaDataset.scala:61-70): lines shaped
+    ``<doc id="ID" ...>##<TAB><TAB><TAB>text``; only pages present in
+    the gold set are kept (the reference's ``containsKey`` guard → a
+    semi join against ``pages``, any DataFrame with a ``conv_id``
+    column). Returns input_hint transcript turns, so context.word_freq /
+    context_windows (the TextSplittingInWords.getContextWords analogue)
+    and the whole ingest/stats stack run on it unchanged."""
+    import re as _re
+
+    marker = '">##\t\t\t'
+    raw = spark.read.text(context_path).select(
+        _unix_lines(F.col("value")).alias("value")
+    )
+    docs = (
+        raw.where(
+            F.col("value").startswith('<doc id="')
+            & F.col("value").contains(marker)
+        )
+        .select(
+            F.regexp_extract(F.col("value"), r'^<doc id="(\d+)"', 1).alias(
+                "conv_id"
+            ),
+            F.element_at(
+                F.split(F.col("value"), _re.escape(marker), 2), 2
+            ).alias("text"),
+        )
+        .where(F.col("conv_id") != "")
+    )
+    return docs.join(
+        pages.select("conv_id").distinct(), "conv_id", "left_semi"
+    ).select(
+        "conv_id",
+        F.lit(0).alias("turn_idx"),
+        F.lit("document").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
     )

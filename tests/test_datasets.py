@@ -294,3 +294,63 @@ def test_hashed_id_collision_check(spark):
         "conv_id string, entity_title string, entity long",
     )
     assert datasets.hashed_id_collisions(planted) == 1
+
+
+WIKI_ANCHORS = str(
+    Path(__file__).resolve().parent / "fixtures" / "wiki_anchors.txt"
+)
+WIKI_CONTEXT = str(
+    Path(__file__).resolve().parent / "fixtures" / "wiki_context.txt"
+)
+
+
+def test_wikipedia_gold_adapter(spark):
+    """WikipediaDataset.scala:30-53: page id = last comma-piece of
+    field 1; (mention, entity) pairs from field 2 on; dangling odd
+    token ignored; junk/pair-less lines dropped (try_cast hardening
+    where the reference would crash on .toInt)."""
+    mentions, gold = datasets.load_wikipedia_gold(spark, WIKI_ANCHORS)
+    g = {
+        (r["conv_id"], r["surface"]): r["entity"] for r in gold.collect()
+    }
+    assert g == {
+        ("101", "england"): 501, ("101", "pakistan"): 502,
+        ("102", "england"): 501,
+    }
+    assert gold.where("entity_title IS NOT NULL").count() == 0
+    m = mentions.collect()
+    assert len(m) == 3
+    assert len({r["mention_id"] for r in m}) == 3
+    # order preserved within a page
+    pos = {
+        (r["conv_id"], r["ngram"]): r["pos"] for r in m
+    }
+    assert pos[("101", "england")] < pos[("101", "pakistan")]
+
+
+def test_wikipedia_context_semi_join(spark):
+    """The one-doc-per-line dump keeps only gold pages
+    (WikipediaDataset.scala:61-70's containsKey guard) and yields
+    input_hint transcript turns."""
+    mentions, _ = datasets.load_wikipedia_gold(spark, WIKI_ANCHORS)
+    t = datasets.load_wikipedia_context(spark, WIKI_CONTEXT, mentions)
+    rows = {r["conv_id"]: r["text"] for r in t.collect()}
+    assert set(rows) == {"101", "102"}  # 999 and junk dropped
+    assert rows["101"].startswith("England beat Pakistan")
+    assert [f.name for f in t.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ]
+    # the transcripts feed the standard mention/context stack unchanged
+    from pboh_spark.normalize import extract_mentions
+
+    assert extract_mentions(t).count() > 0
+
+
+def test_wikipedia_end_to_end_accuracy(spark):
+    """Self-anchored eval on the wikipedia-format fixture: the adapter
+    shapes plug into the candidate/resolve/evaluate stack with micro
+    accuracy 1.0 (any drop = plumbing bug)."""
+    mentions, gold = datasets.load_wikipedia_gold(spark, WIKI_ANCHORS)
+    m = datasets.evaluate_gold_dataset(spark, mentions, gold, lbp=False)
+    assert m["n_gold_mentions"] == 3
+    assert m["argmax"]["micro_accuracy"] == 1.0
