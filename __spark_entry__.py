@@ -1394,12 +1394,23 @@ def gold_aida_eval(spark, sf_dir):
         mentions, stats.name_stats(anchors), top_k=10
     )
     assign = resolve.resolve_argmax(cand)
-    g = gold.select(
-        "conv_id", "surface",
-        F.col("entity").alias("resolved_entity"),
-        "numeric_gold",
-    ).distinct()  # gold is per-annotation; repeated same-surface
-    # annotations in one doc must not fan the mention join
+    # gold is per-annotation: collapse to ONE row per (conv, surface) —
+    # min (resolved, numeric) pair, the linking_accuracy convention — so
+    # the mention join cannot fan even when a surface carries two
+    # different gold entities in one doc (a distinct() would keep both)
+    g = (
+        gold.groupBy("conv_id", "surface")
+        .agg(
+            F.min(F.struct(F.col("entity"), F.col("numeric_gold"))).alias(
+                "__p"
+            )
+        )
+        .select(
+            "conv_id", "surface",
+            F.col("__p.entity").alias("resolved_entity"),
+            F.col("__p.numeric_gold").alias("numeric_gold"),
+        )
+    )
     per_mention = mentions.select("conv_id", "surface", "mention_id").join(
         assign.select("mention_id", F.col("entity").alias("argmax_entity")),
         "mention_id",

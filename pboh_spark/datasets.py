@@ -62,16 +62,25 @@ def _title_entity_id(col: str) -> "F.Column":
 
 
 def hashed_id_collisions(gold: DataFrame) -> int:
-    """Count titles that collided under ``_title_entity_id``: the number
-    of distinct ``entity_title`` values minus the number of distinct
-    ``entity`` ids they hash to. 0 ⇔ the hashed-id space is faithful
-    for this dataset. One small aggregation over the distinct
+    """Count DISTINCT titles silently merged by id collisions: for every
+    entity id carrying more than one distinct ``entity_title``, the
+    extra titles (Σ per-id (n_titles − 1)). 0 ⇔ the hashed-id space is
+    faithful for this dataset. NULL titles are ignored (numeric-id
+    formats carry none), and a title that legitimately maps to several
+    ids contributes nothing — unlike a countDistinct(title) −
+    countDistinct(id) difference, which such rows would drive negative,
+    cancelling real collisions. One small aggregation over the distinct
     (title, id) pairs."""
-    d = gold.select("entity_title", "entity").distinct().agg(
-        F.countDistinct("entity_title").alias("t"),
-        F.countDistinct("entity").alias("e"),
-    ).collect()[0]
-    return int(d["t"]) - int(d["e"])
+    d = (
+        gold.where(F.col("entity_title").isNotNull())
+        .select("entity_title", "entity")
+        .distinct()
+        .groupBy("entity")
+        .agg(F.countDistinct("entity_title").alias("nt"))
+        .agg(F.sum(F.col("nt") - 1).alias("c"))
+        .collect()[0]
+    )
+    return int(d["c"] or 0)
 
 
 def resolve_entity_titles(
@@ -97,9 +106,18 @@ def resolve_entity_titles(
     a few hundred MB) — a plain left join AQE broadcasts when it fits;
     never force-hinted. Load the reference's TSV dump with
     ``spark.read.csv(path, sep="\\t")`` and rename columns."""
-    idx = title_index.select(
-        F.trim(F.col("title")).alias("__ti_title"),
-        F.col("entity_id").cast("long").alias("__ti_id"),
+    # one row per title (deterministic min-id pick): real Wikipedia
+    # title dumps contain duplicate lines, and a duplicated probe side
+    # would fan every matching gold row — in aida_mentions_gold that
+    # means two mention rows sharing one xxhash64 mention_id, silently
+    # double-counted by every downstream mention_id join
+    idx = (
+        title_index.select(
+            F.trim(F.col("title")).alias("__ti_title"),
+            F.col("entity_id").cast("long").alias("__ti_id"),
+        )
+        .groupBy("__ti_title")
+        .agg(F.min("__ti_id").alias("__ti_id"))
     )
     g = gold.withColumn("__ti_key", F.trim(F.col("entity_title")))
     if redirects is not None:
@@ -592,14 +610,24 @@ def _main() -> None:
             spark, args.path, title_index=tidx, redirects=rdir
         )
     hashed_ids = args.format in ("xml", "gerbil") and tidx is None
-    if hashed_ids:
-        n_coll = hashed_id_collisions(gold)
+    if args.format in ("xml", "gerbil"):
+        # with an index, unresolved titles STILL fall back to hashed ids
+        # — the collision check must cover exactly the hashed subset, or
+        # supplying --title-index would silence the very warning that
+        # catches merged fallback entities
+        hashed_subset = (
+            gold if tidx is None else gold.where(~F.col("entity_resolved"))
+        )
+        n_coll = hashed_id_collisions(hashed_subset)
         if n_coll:
             print(
                 f"WARNING: {n_coll} distinct gold titles collided under "
-                "the hashed-title entity ids — colliding titles are "
-                "silently merged (accuracy inflates); supply "
-                "--title-index for real ids",
+                "the hashed-title entity ids"
+                + ("" if tidx is None else " (among index-unresolved titles)")
+                + " — colliding titles are silently merged (accuracy "
+                "inflates); supply "
+                + ("--title-index for real ids"
+                   if tidx is None else "a more complete --title-index"),
                 file=_sys.stderr,
             )
     anchors = None
@@ -698,14 +726,14 @@ def load_wikipedia_gold(
     (eval/datasets/WikipediaDataset.scala:13-95).
 
     Anchors file: ONE LINE PER PAGE —
-    ``ids<TAB>x<TAB>m1<TAB>e1<TAB>m2<TAB>e2 ...`` where the numeric page
-    id is the LAST comma-piece of the first field (:34) and the
-    (mention, entity) pairs start at the third field (:38-49 — the
-    0-based loop takes ``(tokens(i-1), tokens(i))`` for even i ≥ 2;
-    a dangling odd token at the end is ignored, mentions lowercase+trim,
-    entities are already numeric Wikipedia ids so no title hashing is
-    involved). Pages with no pairs are dropped (:37 ``tokens.length >
-    1``).
+    ``ids<TAB>m1<TAB>e1<TAB>m2<TAB>e2 ...`` where the numeric page id is
+    the LAST comma-piece of the first field (:34) and the (mention,
+    entity) pairs start at the SECOND field — the reference's 0-based
+    loop takes ``(tokens(i-1), tokens(i))`` for even i ≥ 2, i.e. the
+    first pair is ``(tokens(1), tokens(2))`` (:38-49). A dangling odd
+    token at the end is ignored, mentions lowercase+trim, entities are
+    already numeric Wikipedia ids so no title hashing is involved.
+    Pages with no pairs are dropped (:37 ``tokens.length > 1``).
 
     line-per-page ``spark.read.text`` (NOT wholetext — a full Wikipedia
     anchors dump is millions of lines and must split across tasks),

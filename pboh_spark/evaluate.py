@@ -373,11 +373,14 @@ def candidate_rank_report(
         .withColumn("__known", F.lit(True))
     )
     if id_mapping is not None:
+        # one row per ext_id (deterministic min-entity pick): a raw,
+        # undeduplicated map would fan the left join and double-count
+        # rank buckets, breaking the counts-partition-the-queries
+        # invariant; freebase_wiki_mapping output is already unique
         queries = queries.join(
-            id_mapping.select(
-                F.col("ext_id").alias("gold_ext_id"),
-                F.col("entity").alias("gold_entity"),
-            ),
+            id_mapping.groupBy(
+                F.col("ext_id").alias("gold_ext_id")
+            ).agg(F.min("entity").alias("gold_entity")),
             "gold_ext_id",
             "left",
         )

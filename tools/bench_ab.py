@@ -17,7 +17,11 @@ the two sides.
 Usage::
 
     python tools/bench_ab.py 868e495 --n-conversations 2000 --trials 3
-    python tools/bench_ab.py <commit> --query linkage_pairs --surface
+    python tools/bench_ab.py <commit> --inner-trials 3 --surface
+
+The measured job is the full ``linkage_pairs_throughput`` path (the
+suite's only cross-round headline with its own protocol); A/B-ing a
+different suite query means pointing ``_TRIAL_SCRIPT`` at it.
 
 The ref commit is materialized as a git worktree under /tmp (reused if
 it already exists) and each ref trial runs with cwd + sys.path pointed

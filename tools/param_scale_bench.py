@@ -114,8 +114,10 @@ def main() -> None:
             rho_p, lam_p, hist = param_learning.learn_param_tables(
                 cand_gold, lam, n_rounds=args.rounds, lam_const=lam_const
             )
-            n_rho, n_lam = rho_p.count(), lam_p.count()
             dt = time.time() - t0
+            # counts OFF the clock: they scan the (inflated) tables and
+            # would contaminate exactly the slope this tool measures
+            n_rho, n_lam = rho_p.count(), lam_p.count()
         finally:
             param_learning.init_rho_params = orig_rho
             param_learning.init_lambda_params = orig_lam
