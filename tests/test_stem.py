@@ -136,3 +136,28 @@ def test_udfs_are_arrow_batched(spark):
     assert rows["fall"] is not None
     assert rows[None] is None
     assert abs(rows["gener"] - 1.0) < 1e-12  # same stem both sides
+
+
+def test_trigram_similarity_properties():
+    """Hypothesis sweep of the occurrence-counted loop's invariants:
+    self-similarity ≥ 1 whenever the stem yields any trigram (every
+    occurrence of b hits A's set, and union ≤ occurrences), and the
+    value is always ≥ 0 and finite."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+        min_size=0, max_size=12,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(words, words)
+    def check(a, b):
+        s = stem_trigram_similarity(a, b)
+        assert s >= 0.0 and s == s  # non-negative, not NaN
+        sa = porter_stem(a)
+        if len(sa) >= 2:
+            assert stem_trigram_similarity(a, a) >= 1.0
+
+    check()
