@@ -1435,7 +1435,10 @@ def gold_aida_eval(spark, sf_dir):
 _STREAM_FIXTURE_VERSION = 1
 
 
-def _stream_fixture(spark, sf_dir, kind: str, wipe: tuple[str, ...] = ()):
+def _stream_fixture(
+    spark, sf_dir, kind: str, wipe: tuple[str, ...] = (),
+    variant: str = "base",
+):
     """Shared input of the streaming contract queries: transcript-shaped
     rows derived from ``documents`` written as a 4-file parquet
     directory under a deterministic temp path. documents.text is
@@ -1443,7 +1446,13 @@ def _stream_fixture(spark, sf_dir, kind: str, wipe: tuple[str, ...] = ()):
     (deterministic, mirrored in the oracles) so MENTION_RE finds real
     single- AND multi-word mentions in the streamed turns. The ``wipe``
     subdirs are cleared per call so a stale checkpoint can never serve
-    results from an older code version."""
+    results from an older code version.
+
+    ``variant="dedup"`` derives the same turns PLUS planted duplicate
+    rows (every doc_id % 7 re-emitted as conv 'dup-<id>', every
+    doc_id % 21 a third time as 'dupp-<id>') into its own shared
+    directory — the streamed-dedup query needs content repeats the base
+    corpus may not contain, and the oracle mirrors the plant."""
     import hashlib
     import shutil
     import tempfile
@@ -1458,7 +1467,8 @@ def _stream_fixture(spark, sf_dir, kind: str, wipe: tuple[str, ...] = ()):
     # two redundant documents scans + parquet writes per gate round.
     # Bump _STREAM_FIXTURE_VERSION when the derivation below changes; a
     # forgotten bump surfaces as an oracle mismatch, never silently.
-    shared_in = Path(tempfile.gettempdir()) / f"pboh_stream_in_{tag}"
+    suffix = "" if variant == "base" else f"_{variant}"
+    shared_in = Path(tempfile.gettempdir()) / f"pboh_stream_in{suffix}_{tag}"
     marker = shared_in / f"_v{_STREAM_FIXTURE_VERSION}"
     if not marker.exists():
         cap = F.array_join(
@@ -1484,6 +1494,17 @@ def _stream_fixture(spark, sf_dir, kind: str, wipe: tuple[str, ...] = ()):
             F.lit(None).cast("string").alias("tool"),
             F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
         )
+        if variant == "dedup":
+            did = F.regexp_extract(F.col("conv_id"), r"doc-(\d+)", 1).cast(
+                "long"
+            )
+            d1 = t.where(did % 7 == 0).withColumn(
+                "conv_id", F.regexp_replace("conv_id", "^doc-", "dup-")
+            )
+            d2 = t.where(did % 21 == 0).withColumn(
+                "conv_id", F.regexp_replace("conv_id", "^doc-", "dupp-")
+            )
+            t = t.unionByName(d1).unionByName(d2)
         t.repartition(4).write.mode("overwrite").parquet(
             str(shared_in / "in")
         )
@@ -1560,6 +1581,37 @@ def streaming_stateful_totals(spark, sf_dir):
     )
 
 
+def streaming_dedup_keeplist(spark, sf_dir):
+    """Streamed EXACT-DEDUP keep-list under the driver gate
+    (streaming.run_streaming_dedup): the derived transcript files — with
+    planted duplicate rows (doc_id % 7 twice, % 21 three times) — drain
+    one file per micro-batch through the stateful dedup operator; the
+    latest batch row per content key is the keep-list: global min
+    (conv_id, turn_idx) representative + total occurrence count. The
+    monotone state makes the result micro-batch-split invariant, so the
+    DuckDB oracle recomputes it with one window over the same derived
+    rows. Streaming counterpart of ops/dedup's exact rung + the
+    dedup_canonical_docs keep-list composition."""
+    from pyspark.sql import Window
+
+    from pboh_spark import streaming
+
+    base, in_path = _stream_fixture(
+        spark, sf_dir, "dedup", ("ckpt", "out"), variant="dedup"
+    )
+    q = streaming.run_streaming_dedup(
+        spark, str(in_path), str(base / "out"), str(base / "ckpt")
+    )
+    q.awaitTermination()
+    landed = spark.read.parquet(str(base / "out"))
+    w = Window.partitionBy("content_key").orderBy(F.desc("batch_id"))
+    return (
+        landed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("content_key", "conv_id", "turn_idx", "n_dups")
+    )
+
+
 def streaming_window_counts(spark, sf_dir):
     """The WATERMARKED WINDOWED aggregation under the driver gate:
     ``streaming.run_window_counts_to_memory`` drains the derived
@@ -1611,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # last driver row — ADVICE r4) --
         "gold_aida_eval": gold_aida_eval,
         "stat_rank_histogram": stat_rank_histogram,
+        "streaming_dedup_keeplist": streaming_dedup_keeplist,
         "dedup_embedding_lsh_pairs": dedup_embedding_lsh_pairs,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -2554,6 +2607,33 @@ def oracle_sql() -> dict[str, str]:
                ngram, count(*)::BIGINT AS freq
         FROM m GROUP BY ngram
     """
+    # streamed dedup: lower(capitalized text) == the original lowercase
+    # documents.text, so the content key is md5(text) straight off the
+    # base table; the planted dup rows mirror _stream_fixture's
+    # variant="dedup" (doc_id % 7 → 'dup-', % 21 → 'dupp-')
+    stream_dedup = """
+        WITH turns AS (
+            SELECT 'doc-' || doc_id::VARCHAR AS conv_id, 0 AS turn_idx,
+                   text FROM documents
+            UNION ALL
+            SELECT 'dup-' || doc_id::VARCHAR, 0, text FROM documents
+            WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT 'dupp-' || doc_id::VARCHAR, 0, text FROM documents
+            WHERE doc_id % 21 = 0
+        ),
+        ranked AS (
+            SELECT md5(text) AS content_key, conv_id, turn_idx,
+                   row_number() OVER (
+                       PARTITION BY md5(text)
+                       ORDER BY conv_id, turn_idx) AS rn,
+                   count(*) OVER (PARTITION BY md5(text)) AS n_dups
+            FROM turns
+        )
+        SELECT content_key, conv_id, turn_idx::INT AS turn_idx,
+               n_dups::BIGINT AS n_dups
+        FROM ranked WHERE rn = 1
+    """
     rho_context = """
         WITH turns AS (
             SELECT (doc_id % 50)::VARCHAR AS conv_id,
@@ -2883,6 +2963,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_ingest_replay": stream_replay,
         "streaming_stateful_totals": stream_stateful,
         "streaming_window_counts": stream_window,
+        "streaming_dedup_keeplist": stream_dedup,
         "stat_rho_context": rho_context,
         # pboh_resolve_lbp / pboh_e2e_clusters / pboh_surface_clusters /
         # multimodal_features come from GOLDEN_SQL above (seeded golden-row

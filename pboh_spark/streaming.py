@@ -231,3 +231,97 @@ def run_window_counts_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_doc_dedup(turns_stream: DataFrame) -> DataFrame:
+    """Streamed EXACT DEDUP over document/turn content — the streaming
+    counterpart of the batch dedup ladder's first rung
+    (ops/dedup.exact_dedup); the reference is batch-only, so this is an
+    ours-beyond-reference operator like the rest of streaming.py.
+
+    Content key = md5 of the lowercased text (case-insensitive content
+    identity, engine-portable for the DuckDB oracle). State per key is
+    MONOTONE: (best representative = global min (conv_id, turn_idx) seen
+    so far, running occurrence count). Each micro-batch that touches a
+    key emits the key's updated row; the LATEST row per key therefore
+    carries the GLOBAL minimum representative and the TOTAL duplicate
+    count — values that do not depend on how rows split into
+    micro-batches or arrive out of order. That split-invariance is the
+    design rule of every driver-gated streaming operator here: it is
+    what makes a streamed path oracle-checkable (and what a production
+    pipeline wants anyway — a canonical keep-list must not depend on
+    ingest batching).
+
+    State size: one small row per DISTINCT content — the dedup
+    dictionary bound, not the corpus (same scaling argument as the
+    surface dictionary in streaming_surface_stats)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = turns_stream.select(
+        F.md5(F.lower(F.col("text"))).alias("content_key"),
+        "conv_id",
+        "turn_idx",
+    )
+
+    def dedup(key, pdfs, state: GroupState):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        n = len(batch)
+        batch = batch.sort_values(
+            ["conv_id", "turn_idx"], kind="mergesort"
+        )
+        bc = batch.iloc[0]["conv_id"]
+        bt = int(batch.iloc[0]["turn_idx"])
+        if state.exists:
+            pc, pt, pn = state.get
+            if (pc, int(pt)) <= (bc, bt):
+                bc, bt = pc, int(pt)
+            n += int(pn)
+        state.update((bc, bt, n))
+        yield pd.DataFrame(
+            {
+                "content_key": [key[0]],
+                "conv_id": [bc],
+                "turn_idx": [bt],
+                "n_dups": [n],
+            }
+        )
+
+    return keyed.groupBy("content_key").applyInPandasWithState(
+        dedup,
+        outputStructType=(
+            "content_key string, conv_id string, turn_idx int, n_dups bigint"
+        ),
+        stateStructType="best_conv string, best_turn int, n_seen bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Drain pending transcript files through the streamed exact-dedup
+    operator; each micro-batch's updated keep-list rows land in
+    ``out_dir/batch_id=N`` (overwrite-per-batch exactly-once, the same
+    layout as the other foreachBatch sinks — resumable across restarts).
+    The current keep-list = the LATEST batch row per content_key."""
+    dedup = streaming_doc_dedup(
+        stream_transcripts(spark, input_path, max_files_per_trigger=1)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        dedup.writeStream.foreachBatch(process)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -160,3 +160,61 @@ def test_streamed_ingest_then_batch_linkage_matches_batch(
     got = clusters_from(streamed_mentions)
     want = clusters_from(extract_mentions(t))
     assert got == want
+
+
+def test_streaming_dedup_state_and_resume(spark, tmp_path):
+    """Streamed exact dedup: cross-batch state picks the GLOBAL min
+    representative and total count regardless of which batch a
+    duplicate arrives in; re-running with the same checkpoint RESUMES
+    the seen-state (counts keep accumulating, representative can only
+    improve)."""
+
+    def turns(rows):
+        return spark.createDataFrame(
+            [(c, t, "user", x, None, None) for c, t, x in rows],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    # batch 1: two texts; 'zz' carries the worse representative first
+    turns([("zz", 5, "Alpha Doc"), ("aa", 1, "Beta Doc")]).coalesce(
+        1
+    ).write.parquet(str(inp / "f1"))
+    # batch 2: duplicate of 'Alpha Doc' with a BETTER (smaller) conv —
+    # the monotone state must downgrade the representative to it
+    turns([("ab", 2, "alpha doc"), ("cc", 0, "Gamma Doc")]).coalesce(
+        1
+    ).write.parquet(str(inp / "f2"))
+    q = streaming.run_streaming_dedup(
+        spark, f"{inp}/*", str(out), str(ckpt)
+    )
+    q.awaitTermination()
+
+    def keeplist():
+        landed = spark.read.parquet(str(out))
+        best = {}
+        for r in landed.collect():
+            cur = best.get(r["content_key"])
+            if cur is None or r["batch_id"] > cur["batch_id"]:
+                best[r["content_key"]] = r
+        return {
+            (r["conv_id"], r["turn_idx"]): r["n_dups"]
+            for r in best.values()
+        }
+
+    k1 = keeplist()
+    # alpha: min(('zz',5), ('ab',2)) = ('ab',2), 2 occurrences
+    assert k1[("ab", 2)] == 2
+    assert k1[("aa", 1)] == 1 and k1[("cc", 0)] == 1
+    # RESTART with a third file: another alpha dup, again worse rep
+    turns([("zx", 9, "ALPHA DOC")]).coalesce(1).write.parquet(
+        str(inp / "f3")
+    )
+    q2 = streaming.run_streaming_dedup(
+        spark, f"{inp}/*", str(out), str(ckpt)
+    )
+    q2.awaitTermination()
+    k2 = keeplist()
+    assert k2[("ab", 2)] == 3  # state resumed: count accumulated
+    assert ("zx", 9) not in k2  # representative did not regress
