@@ -749,6 +749,25 @@ def cc_components(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def cc_components_star(spark, sf_dir):
+    """Stage-6 ALTERNATING LARGE-STAR/SMALL-STAR connected components
+    (Kiveris et al., SoCC'14 — the second of the two CC algorithms the
+    north star names) over the same minhash-LSH near-dup graph as
+    cc_components; identical output contract (min-id component labels),
+    certified against the same recursive-CTE transitive-closure oracle.
+    Head-to-head round counts/timings vs hash-to-min on clique- and
+    chain-shaped graphs are recorded in BENCH.md."""
+    from pboh_spark.cluster import connected_components_star
+    from pboh_spark.ops.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(d, "text", k=3, n_hashes=_MH_N, n_bands=_MH_BANDS)
+    comp = connected_components_star(edges, "doc_id_a", "doc_id_b")
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("cluster_id").cast("bigint").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # dedup ladder (ops/dedup.py)
 # ---------------------------------------------------------------------------
@@ -1637,6 +1656,33 @@ def streaming_window_counts(spark, sf_dir):
     )
 
 
+def streaming_pair_candidates(spark, sf_dir):
+    """Streamed WITHIN-BLOCK PAIR GENERATION under the driver gate
+    (streaming.run_streaming_pairs): the derived transcript files drain
+    one file per micro-batch through the stateful pair generator —
+    ``applyInPandasWithState`` keyed by block key, state = the sorted
+    admitted-member array, each unordered pair emitted exactly once by
+    the batch that admits its second member (append mode). The emitted
+    pair SET is micro-batch-split invariant by construction, so the
+    DuckDB oracle is the plain within-block self-join
+    ``mention_id_a < mention_id_b`` over the same derived rows — and
+    because the query returns the landed rows WITHOUT dedup, the value
+    hash also catches duplicated or lost micro-batch emissions.
+    Streaming counterpart of the batch blocking → pairs.candidate_pairs
+    expansion (the reference's per-doc pair loops,
+    CocitationMap.scala:24-39, are batch-only)."""
+    from pboh_spark import streaming
+
+    base, in_path = _stream_fixture(spark, sf_dir, "pairs", ("out", "ckpt"))
+    q = streaming.run_streaming_pairs(
+        spark, str(in_path), str(base / "out"), str(base / "ckpt")
+    )
+    q.awaitTermination()
+    return spark.read.parquet(str(base / "out")).select(
+        "block_key", "mention_id_a", "mention_id_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1661,6 +1707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r5 leading block: new this round + the 13 outside r04's window
         # (incl. ann_ivf_topk, whose n_probe default changed in r4 AFTER its
         # last driver row — ADVICE r4) --
+        "streaming_pair_candidates": streaming_pair_candidates,
+        "cc_components_star": cc_components_star,
         "gold_aida_eval": gold_aida_eval,
         "stat_rank_histogram": stat_rank_histogram,
         "streaming_dedup_keeplist": streaming_dedup_keeplist,
@@ -2634,6 +2682,34 @@ def oracle_sql() -> dict[str, str]:
                n_dups::BIGINT AS n_dups
         FROM ranked WHERE rn = 1
     """
+    # streamed pair generation: the split-invariant emitted-pair set ==
+    # the plain within-block self-join over the same derived turns.
+    # block_key = lowercased first non-empty token (documents.text is
+    # all-lowercase, so the fixture's capitalization cancels);
+    # mention_id = first 15 hex digits of md5('doc-<id>#0') as BIGINT —
+    # the same engine-portable fold streaming.blocked_turns computes
+    # with Spark's conv(substr(md5(..),1,15),16,10).
+    stream_pairs = """
+        WITH m AS (
+            SELECT lower(list_filter(string_split(text, ' '),
+                                     x -> x <> '')[1]) AS block_key,
+                   ('0x' || substr(md5('doc-' || doc_id::VARCHAR || '#0'),
+                                   1, 15))::BIGINT AS mention_id
+            FROM documents
+            WHERE text IS NOT NULL
+        ),
+        keyed AS (
+            SELECT * FROM m
+            WHERE block_key IS NOT NULL AND block_key <> ''
+        )
+        SELECT a.block_key,
+               a.mention_id AS mention_id_a,
+               b.mention_id AS mention_id_b
+        FROM keyed a
+        JOIN keyed b
+          ON a.block_key = b.block_key
+         AND a.mention_id < b.mention_id
+    """
     rho_context = """
         WITH turns AS (
             SELECT (doc_id % 50)::VARCHAR AS conv_id,
@@ -2941,6 +3017,9 @@ def oracle_sql() -> dict[str, str]:
         "link_pair_scoring": pair_scoring,
         "link_blocking_metrics": blocking_metrics,
         "cc_components": cc,
+        # identical output contract — both CC algorithms must reproduce the
+        # same recursive-CTE transitive closure
+        "cc_components_star": cc,
         "dedup_exact": d_exact,
         "dedup_canonical_docs": d_canonical,
         "dedup_minhash_sig": d_sig,
@@ -2964,6 +3043,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful_totals": stream_stateful,
         "streaming_window_counts": stream_window,
         "streaming_dedup_keeplist": stream_dedup,
+        "streaming_pair_candidates": stream_pairs,
         "stat_rho_context": rho_context,
         # pboh_resolve_lbp / pboh_e2e_clusters / pboh_surface_clusters /
         # multimodal_features come from GOLDEN_SQL above (seeded golden-row

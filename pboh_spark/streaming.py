@@ -325,3 +325,168 @@ def run_streaming_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_candidate_pairs(
+    keyed_stream: DataFrame, cap: int = 4096
+) -> DataFrame:
+    """Streamed WITHIN-BLOCK CANDIDATE-PAIR generation — the incremental
+    counterpart of the batch blocking → pair-expansion stage
+    (pairs.candidate_pairs over blocking's block keys; the reference's
+    per-doc nested pair loops, CocitationMap.scala:24-39, are batch-only,
+    so this is an ours-beyond-reference streaming operator).
+
+    Input: a stream with columns ``(block_key string, mention_id
+    bigint)``. State per block key is the SORTED array of member ids
+    admitted so far. Each micro-batch the new member ids (within-batch
+    duplicates and ids already in state are ignored — re-delivery safe)
+    are paired against every admitted member and against each other, and
+    each unordered pair ``(mention_id_a < mention_id_b)`` is emitted
+    EXACTLY ONCE, in append mode.
+
+    Split-invariance (the design rule of every driver-gated streaming
+    operator here): the UNION of emitted pairs over any micro-batch
+    split equals the batch self-join pair set
+    ``{(a, b) : a < b, same block}`` — each pair is emitted by whichever
+    batch admits its second member, so how rows split into batches moves
+    pairs BETWEEN batches but never changes the overall set. That is
+    what makes the streamed path oracle-checkable against a plain SQL
+    self-join, and what an incremental linkage pipeline needs anyway
+    (downstream scoring/clustering must not depend on ingest batching).
+
+    ``cap`` is the streamed P4 size guard (P4, blocking.salt_and_cap's
+    role in batch): once a block has ``cap`` admitted members it stops
+    admitting, bounding state at ``cap`` ids and emitted pairs at
+    C(cap, 2) per block. WHICH members a runaway block drops depends on
+    arrival order (admission is first-come, sorted within a batch), so
+    capped blocks are arrival-dependent — production runs bound block
+    sizes upstream (salting, key design) and treat a tripped cap as a
+    data-quality signal; the per-block ``n_dropped`` counter rides in
+    state for exactly that. Pair emission per batch is vectorized numpy
+    (cross product + upper triangle), never a Python pair loop.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def pairgen(key, pdfs, state: GroupState):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        ids = np.unique(batch["mention_id"].to_numpy(np.int64))
+        if state.exists:
+            members_raw, n_dropped = state.get
+            members = np.asarray(members_raw, dtype=np.int64)
+        else:
+            members, n_dropped = np.empty(0, dtype=np.int64), 0
+        new = ids[~np.isin(ids, members)]
+        room = max(cap - len(members), 0)
+        admitted = new[:room]
+        n_dropped = int(n_dropped) + int(len(new) - len(admitted))
+        a_parts, b_parts = [], []
+        if len(members) and len(admitted):
+            lhs = np.repeat(members, len(admitted))
+            rhs = np.tile(admitted, len(members))
+            a_parts.append(np.minimum(lhs, rhs))
+            b_parts.append(np.maximum(lhs, rhs))
+        if len(admitted) > 1:
+            iu, ju = np.triu_indices(len(admitted), k=1)
+            a_parts.append(admitted[iu])
+            b_parts.append(admitted[ju])
+        state.update(
+            (np.sort(np.concatenate([members, admitted])).tolist(), n_dropped)
+        )
+        if a_parts:
+            a = np.concatenate(a_parts)
+            b = np.concatenate(b_parts)
+            yield pd.DataFrame(
+                {
+                    "block_key": np.full(len(a), key[0], dtype=object),
+                    "mention_id_a": a,
+                    "mention_id_b": b,
+                }
+            )
+
+    return keyed_stream.groupBy("block_key").applyInPandasWithState(
+        pairgen,
+        outputStructType=(
+            "block_key string, mention_id_a bigint, mention_id_b bigint"
+        ),
+        stateStructType="members array<bigint>, n_dropped bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def blocked_turns(turns: DataFrame) -> DataFrame:
+    """Column-side (block_key, mention_id) derivation from transcript
+    turns — the stateless front of the streamed pair generator, usable on
+    a stream or a static frame identically (which is how the tests and
+    the DuckDB oracle reproduce it):
+
+    * ``block_key`` = lowercased first non-empty whitespace token of the
+      turn text (a real content-derived key; swap for candidate_blocks /
+      minhash band keys upstream in a full deployment).
+    * ``mention_id`` = first 15 hex digits of md5(conv_id '#' turn_idx)
+      as a positive bigint — engine-portable (DuckDB spells it
+      ``('0x' || substr(md5(..), 1, 15))::BIGINT``), deterministic, and
+      collision-safe in practice (2^60 space; ~n²/2^61 expected
+      collisions — negligible below ~10^8 turns, and the id doubles as a
+      join key only within this operator's tests).
+    """
+    first_tok = F.element_at(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != ""), 1
+    )
+    return (
+        turns.where(F.col("text").isNotNull())
+        .select(
+            F.lower(first_tok).alias("block_key"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", "conv_id", "turn_idx")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("mention_id"),
+        )
+        .where(F.col("block_key").isNotNull() & (F.col("block_key") != ""))
+    )
+
+
+def run_streaming_pairs(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cap: int = 4096,
+    max_files_per_trigger: int | None = 1,
+):
+    """Drain pending transcript files through the streamed pair
+    generator; each micro-batch's newly emitted pairs land in
+    ``out_dir/batch_id=N`` (overwrite-per-batch exactly-once, same
+    layout as the other foreachBatch sinks). The full candidate-pair
+    table = the union of all batch partitions — append-mode emission
+    means no cross-batch dedup is needed, and a duplicated/lost
+    micro-batch shows up as duplicated/missing pairs (which is exactly
+    what the gate oracle's value hash checks)."""
+    pairs = streaming_candidate_pairs(
+        blocked_turns(
+            stream_transcripts(
+                spark, input_path, max_files_per_trigger=max_files_per_trigger
+            )
+        ),
+        cap=cap,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        pairs.writeStream.foreachBatch(process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

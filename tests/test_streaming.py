@@ -218,3 +218,96 @@ def test_streaming_dedup_state_and_resume(spark, tmp_path):
     k2 = keeplist()
     assert k2[("ab", 2)] == 3  # state resumed: count accumulated
     assert ("zx", 9) not in k2  # representative did not regress
+
+
+def _pair_turns(spark, rows):
+    return spark.createDataFrame(
+        [(c, t, "user", x, None, None) for c, t, x in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def _landed_pairs(spark, out):
+    return {
+        (r["block_key"], r["mention_id_a"], r["mention_id_b"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+
+
+def test_streaming_pairs_split_invariant_and_match_batch(spark, tmp_path):
+    """The emitted pair SET equals the batch within-block self-join and
+    does not depend on how rows split into micro-batches (1 file per
+    trigger vs one big batch)."""
+    rows = [
+        (f"c{i:02d}", j, f"blk{(i * 3 + j) % 4} tail words {i}")
+        for i in range(8)
+        for j in range(3)
+    ]
+    t = _pair_turns(spark, rows)
+    inp = tmp_path / "in"
+    # three files so maxFilesPerTrigger=1 gives three micro-batches
+    for k in range(3):
+        t.where(F.col("turn_idx") == k).coalesce(1).write.parquet(
+            str(inp / f"f{k}")
+        )
+    # batch truth: self-join over the same derived keys
+    m = streaming.blocked_turns(t)
+    a, b = m.alias("a"), m.alias("b")
+    want = {
+        (r["block_key"], r["mention_id_a"], r["mention_id_b"])
+        for r in (
+            a.join(b, "block_key")
+            .where(F.col("a.mention_id") < F.col("b.mention_id"))
+            .select(
+                "block_key",
+                F.col("a.mention_id").alias("mention_id_a"),
+                F.col("b.mention_id").alias("mention_id_b"),
+            )
+        ).collect()
+    }
+    got = {}
+    for tag, mfpt in (("split", 1), ("whole", None)):
+        out, ckpt = tmp_path / f"out_{tag}", tmp_path / f"ck_{tag}"
+        q = streaming.run_streaming_pairs(
+            spark, f"{inp}/*", str(out), str(ckpt),
+            max_files_per_trigger=mfpt,
+        )
+        q.awaitTermination()
+        landed = spark.read.parquet(str(out))
+        # append mode: each pair lands exactly once (no dedup needed)
+        assert landed.count() == landed.distinct().count()
+        got[tag] = _landed_pairs(spark, out)
+    assert got["split"] == want
+    assert got["whole"] == want
+    # the split drain really produced >1 micro-batch with emissions
+    n_batches = (
+        spark.read.parquet(str(tmp_path / "out_split"))
+        .select("batch_id").distinct().count()
+    )
+    assert n_batches > 1
+
+
+def test_streaming_pairs_cap_and_redelivery(spark, tmp_path):
+    """cap: a block stops admitting at cap members → exactly C(cap,2)
+    pairs; re-delivered mention ids (same conv/turn arriving again in a
+    later batch) never duplicate pairs."""
+    rows = [(f"c{i}", 0, "same block text") for i in range(5)]
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    _pair_turns(spark, rows).coalesce(1).write.parquet(str(inp / "f1"))
+    q = streaming.run_streaming_pairs(
+        spark, f"{inp}/*", str(out), str(ckpt), cap=3
+    )
+    q.awaitTermination()
+    first = _landed_pairs(spark, out)
+    assert len(first) == 3  # C(3,2), two members dropped by the guard
+    # second drain: re-deliver one existing id + one new one — the new
+    # id is ALSO rejected (block already at cap), the old one ignored
+    _pair_turns(
+        spark, [("c0", 0, "same block text"), ("c9", 0, "same block text")]
+    ).coalesce(1).write.parquet(str(inp / "f2"))
+    q2 = streaming.run_streaming_pairs(
+        spark, f"{inp}/*", str(out), str(ckpt), cap=3
+    )
+    q2.awaitTermination()
+    assert _landed_pairs(spark, out) == first
