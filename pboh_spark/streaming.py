@@ -327,6 +327,45 @@ def run_streaming_dedup(
     )
 
 
+def _admit_and_pair(members, n_dropped: int, ids, cap: int):
+    """Pure per-block admission + pair-emission kernel of the streamed
+    pair generator, extracted so its split-invariance contract is
+    property-testable without a streaming query (tests/test_streaming.py
+    replays random micro-batch splits through it directly).
+
+    ``members``: sorted int64 array of previously admitted ids;
+    ``ids``: sorted unique int64 array of this batch's ids. Returns
+    ``(new_members, new_n_dropped, a, b)`` where (a, b) are the pairs
+    to emit this batch (a < b elementwise): every admitted newcomer ×
+    every prior member, plus the upper triangle among the newcomers —
+    i.e. exactly the pairs whose SECOND member this batch admits, which
+    is what makes the union over any split equal the batch self-join.
+    Vectorized numpy (cross product + triu), never a Python pair loop.
+    """
+    import numpy as np
+
+    new = ids[~np.isin(ids, members)]
+    room = max(cap - len(members), 0)
+    admitted = new[:room]
+    n_dropped = int(n_dropped) + int(len(new) - len(admitted))
+    a_parts, b_parts = [], []
+    if len(members) and len(admitted):
+        lhs = np.repeat(members, len(admitted))
+        rhs = np.tile(admitted, len(members))
+        a_parts.append(np.minimum(lhs, rhs))
+        b_parts.append(np.maximum(lhs, rhs))
+    if len(admitted) > 1:
+        iu, ju = np.triu_indices(len(admitted), k=1)
+        a_parts.append(admitted[iu])
+        b_parts.append(admitted[ju])
+    out_members = np.sort(np.concatenate([members, admitted]))
+    if a_parts:
+        a, b = np.concatenate(a_parts), np.concatenate(b_parts)
+    else:
+        a = b = np.empty(0, dtype=np.int64)
+    return out_members, n_dropped, a, b
+
+
 def streaming_candidate_pairs(
     keyed_stream: DataFrame, cap: int = 4096
 ) -> DataFrame:
@@ -365,11 +404,12 @@ def streaming_candidate_pairs(
     state for exactly that. Pair emission per batch is vectorized numpy
     (cross product + upper triangle), never a Python pair loop.
     """
-    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def pairgen(key, pdfs, state: GroupState):
+        import numpy as np
+
         batch = pd.concat(list(pdfs), ignore_index=True)
         ids = np.unique(batch["mention_id"].to_numpy(np.int64))
         if state.exists:
@@ -377,26 +417,11 @@ def streaming_candidate_pairs(
             members = np.asarray(members_raw, dtype=np.int64)
         else:
             members, n_dropped = np.empty(0, dtype=np.int64), 0
-        new = ids[~np.isin(ids, members)]
-        room = max(cap - len(members), 0)
-        admitted = new[:room]
-        n_dropped = int(n_dropped) + int(len(new) - len(admitted))
-        a_parts, b_parts = [], []
-        if len(members) and len(admitted):
-            lhs = np.repeat(members, len(admitted))
-            rhs = np.tile(admitted, len(members))
-            a_parts.append(np.minimum(lhs, rhs))
-            b_parts.append(np.maximum(lhs, rhs))
-        if len(admitted) > 1:
-            iu, ju = np.triu_indices(len(admitted), k=1)
-            a_parts.append(admitted[iu])
-            b_parts.append(admitted[ju])
-        state.update(
-            (np.sort(np.concatenate([members, admitted])).tolist(), n_dropped)
+        members, n_dropped, a, b = _admit_and_pair(
+            members, int(n_dropped), ids, cap
         )
-        if a_parts:
-            a = np.concatenate(a_parts)
-            b = np.concatenate(b_parts)
+        state.update((members.tolist(), n_dropped))
+        if len(a):
             yield pd.DataFrame(
                 {
                     "block_key": np.full(len(a), key[0], dtype=object),

@@ -311,3 +311,78 @@ def test_streaming_pairs_cap_and_redelivery(spark, tmp_path):
     )
     q2.awaitTermination()
     assert _landed_pairs(spark, out) == first
+
+
+# -- pure-kernel property: split invariance of _admit_and_pair ------------
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _replay(batches, cap):
+    """Drive the extracted kernel over a list of id-batches the way the
+    stateful operator does, returning (emitted pair list, final members,
+    n_dropped)."""
+    members = np.empty(0, dtype=np.int64)
+    dropped, pairs = 0, []
+    for batch in batches:
+        ids = np.unique(np.asarray(batch, dtype=np.int64))
+        if not len(ids):
+            continue
+        members, dropped, a, b = streaming._admit_and_pair(
+            members, dropped, ids, cap
+        )
+        pairs.extend(zip(a.tolist(), b.tolist()))
+    return pairs, members, dropped
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ids=st.lists(st.integers(0, 40), min_size=0, max_size=60),
+    cuts=st.lists(st.integers(0, 60), max_size=6),
+    cap=st.integers(1, 50),
+)
+def test_admit_and_pair_split_invariant(ids, cuts, cap):
+    """For ANY sequence of ids (duplicates included), ANY micro-batch
+    split of it, and ANY cap: each emitted pair appears exactly once;
+    the admitted set is the first-cap unique ids in arrival order of the
+    SPLIT run; pairs == all C(admitted, 2) pairs over the admitted set;
+    n_dropped counts the rejected unique ids. With cap ≥ n_unique this
+    makes the pair set split-INVARIANT (equal to the batch self-join)."""
+    bounds = sorted(set(c for c in cuts if c < len(ids)))
+    batches = [
+        ids[lo:hi]
+        for lo, hi in zip([0] + bounds, bounds + [len(ids)])
+    ]
+    pairs, members, dropped = _replay(batches, cap)
+    # exactly-once emission, a < b
+    assert len(pairs) == len(set(pairs))
+    assert all(a < b for a, b in pairs)
+    # admission: first-come by (batch order, id order within batch)
+    want_members: list[int] = []
+    want_dropped = 0
+    for batch in batches:
+        for i in sorted(set(batch)):
+            if i in want_members:
+                continue
+            if len(want_members) < cap:
+                want_members.append(i)
+            else:
+                want_dropped += 1
+    assert members.tolist() == sorted(want_members)
+    assert dropped == want_dropped
+    # emitted pairs == ALL pairs over the admitted set, regardless of split
+    ms = sorted(want_members)
+    want_pairs = {
+        (ms[i], ms[j])
+        for i in range(len(ms))
+        for j in range(i + 1, len(ms))
+    }
+    assert set(pairs) == want_pairs
+    # and with no cap pressure the set equals the batch self-join of ALL ids
+    if cap >= len(set(ids)):
+        u = sorted(set(ids))
+        assert set(pairs) == {
+            (u[i], u[j]) for i in range(len(u)) for j in range(i + 1, len(u))
+        }
