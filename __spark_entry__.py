@@ -1683,6 +1683,38 @@ def streaming_pair_candidates(spark, sf_dir):
     )
 
 
+def streaming_scored_pairs(spark, sf_dir):
+    """STREAM-STATIC JOIN under the driver gate
+    (streaming.run_streaming_scored_pairs): the dedup-variant fixture
+    (planted duplicate rows → real high-overlap pairs) drains through
+    the stateful pair generator, each emitted pair joins TWICE against
+    the STATIC mention-token dimension read from the same files, and
+    token-set overlap is scored column-side (array_intersect/
+    array_union — all JVM). The kept set is ``100·n_common ≥
+    50·n_union`` — INTEGER arithmetic only, so the landed values hash
+    identically across engines with no float-rounding surface. The
+    scoring stage is stateless, so split-invariance is inherited from
+    the candidate-pair set; the DuckDB oracle is the batch self-join +
+    the same set-Jaccard filter, and because the landed rows are
+    returned without dedup it also catches duplicated/lost micro-batch
+    emissions. The planted dup pairs land with n_common == n_union
+    (identical token sets) — the streamed path literally recovers the
+    duplicates the batch dedup ladder finds."""
+    from pboh_spark import streaming
+
+    base, in_path = _stream_fixture(
+        spark, sf_dir, "scored", ("out", "ckpt"), variant="dedup"
+    )
+    q = streaming.run_streaming_scored_pairs(
+        spark, str(in_path), str(base / "out"), str(base / "ckpt"),
+        min_jaccard_pct=50,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(str(base / "out")).select(
+        "block_key", "mention_id_a", "mention_id_b", "n_common", "n_union"
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1707,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r5 leading block: new this round + the 13 outside r04's window
         # (incl. ann_ivf_topk, whose n_probe default changed in r4 AFTER its
         # last driver row — ADVICE r4) --
+        "streaming_scored_pairs": streaming_scored_pairs,
         "streaming_pair_candidates": streaming_pair_candidates,
         "cc_components_star": cc_components_star,
         "gold_aida_eval": gold_aida_eval,
@@ -2710,6 +2743,49 @@ def oracle_sql() -> dict[str, str]:
           ON a.block_key = b.block_key
          AND a.mention_id < b.mention_id
     """
+    # stream-static scored pairs: batch self-join over the dup-variant
+    # derivation + the same token-SET Jaccard filter in integer
+    # arithmetic (no float surface). tokens from lower(text) — the
+    # fixture's capitalization cancels; list_distinct/list_intersect
+    # are set-semantic like Spark's array_distinct/array_intersect.
+    stream_scored = """
+        WITH turns AS (
+            SELECT 'doc-' || doc_id::VARCHAR AS conv_id, text
+            FROM documents
+            UNION ALL
+            SELECT 'dup-' || doc_id::VARCHAR, text FROM documents
+            WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT 'dupp-' || doc_id::VARCHAR, text FROM documents
+            WHERE doc_id % 21 = 0
+        ),
+        m AS (
+            SELECT lower(list_filter(string_split(text, ' '),
+                                     x -> x <> '')[1]) AS block_key,
+                   ('0x' || substr(md5(conv_id || '#0'),
+                                   1, 15))::BIGINT AS mention_id,
+                   list_distinct(list_filter(
+                       string_split(lower(text), ' '),
+                       x -> x <> '')) AS toks
+            FROM turns
+            WHERE text IS NOT NULL
+        ),
+        keyed AS (
+            SELECT * FROM m
+            WHERE block_key IS NOT NULL AND block_key <> ''
+        )
+        SELECT a.block_key,
+               a.mention_id AS mention_id_a,
+               b.mention_id AS mention_id_b,
+               len(list_intersect(a.toks, b.toks))::BIGINT AS n_common,
+               len(list_distinct(a.toks || b.toks))::BIGINT AS n_union
+        FROM keyed a
+        JOIN keyed b
+          ON a.block_key = b.block_key
+         AND a.mention_id < b.mention_id
+        WHERE 100 * len(list_intersect(a.toks, b.toks))
+              >= 50 * len(list_distinct(a.toks || b.toks))
+    """
     rho_context = """
         WITH turns AS (
             SELECT (doc_id % 50)::VARCHAR AS conv_id,
@@ -3044,6 +3120,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_window_counts": stream_window,
         "streaming_dedup_keeplist": stream_dedup,
         "streaming_pair_candidates": stream_pairs,
+        "streaming_scored_pairs": stream_scored,
         "stat_rho_context": rho_context,
         # pboh_resolve_lbp / pboh_e2e_clusters / pboh_surface_clusters /
         # multimodal_features come from GOLDEN_SQL above (seeded golden-row

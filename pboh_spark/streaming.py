@@ -515,3 +515,145 @@ def run_streaming_pairs(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def mention_token_dim(turns: DataFrame) -> DataFrame:
+    """Static mention-attribute DIMENSION for the streamed scoring join:
+    ``(mention_id, tokens)`` with the same engine-portable md5-fold id
+    as blocked_turns and ``tokens`` = the DISTINCT lowercased non-empty
+    whitespace tokens of the turn text (set semantics — the score below
+    is a set Jaccard, and DuckDB's list_distinct/list_intersect mirror
+    Spark's array_distinct/array_intersect exactly). One row per
+    (conv_id, turn_idx); built from the SAME files the stream drains,
+    read statically."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    )
+    return (
+        turns.where(F.col("text").isNotNull())
+        .select(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", "conv_id", "turn_idx")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("mention_id"),
+            toks.alias("tokens"),
+        )
+        .dropDuplicates(["mention_id"])
+    )
+
+
+def streaming_scored_pairs(
+    pairs: DataFrame,
+    dim: DataFrame,
+    min_jaccard_pct: int = 20,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """STREAM-STATIC JOIN scoring stage over the streamed candidate
+    pairs — the incremental counterpart of the batch blocking →
+    pair-expansion → pairs.score_pairs chain, and the repo's canonical
+    use of Spark's stream-static join surface (a streaming DataFrame
+    joined to a plain batch DataFrame; append mode, no state).
+
+    Each emitted pair is joined TWICE against the static mention
+    dimension (a-side, b-side) and scored column-side with token-SET
+    overlap: ``n_common = |tokens_a ∩ tokens_b|``, ``n_union =
+    |tokens_a ∪ tokens_b|`` — all JVM ``array_intersect``/
+    ``array_union``, no Python in the hot path. The threshold keeps a
+    pair iff ``100 * n_common >= min_jaccard_pct * n_union`` — INTEGER
+    arithmetic, so the landed values hash identically across engines
+    (no float rounding surface at all; the Jaccard ratio itself is
+    reconstructable downstream as n_common/n_union).
+
+    Split-invariance is inherited: the scoring stage is STATELESS, so
+    the scored pair set is a per-row function of the (split-invariant)
+    candidate-pair set — any micro-batch split lands the same rows.
+
+    ``broadcast_dim=True`` hints the dim broadcast — right whenever the
+    dimension fits an executor (the 100-TB shape for a per-mention
+    attribute table that fits memory after column pruning: two columns,
+    tokens only). With a dimension too big to broadcast, pass False and
+    let AQE plan the stream-static join; each micro-batch then shuffles
+    only ITS pairs against the dim."""
+    da = dim.select(
+        F.col("mention_id").alias("mention_id_a"),
+        F.col("tokens").alias("__toks_a"),
+    )
+    db = dim.select(
+        F.col("mention_id").alias("mention_id_b"),
+        F.col("tokens").alias("__toks_b"),
+    )
+    if broadcast_dim:
+        da, db = F.broadcast(da), F.broadcast(db)
+    return (
+        pairs.join(da, "mention_id_a")
+        .join(db, "mention_id_b")
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("__toks_a", "__toks_b")).cast("bigint"),
+        )
+        .withColumn(
+            "n_union",
+            F.size(F.array_union("__toks_a", "__toks_b")).cast("bigint"),
+        )
+        .where(
+            F.col("n_common") * 100 >= F.col("n_union") * int(min_jaccard_pct)
+        )
+        .select(
+            "block_key",
+            "mention_id_a",
+            "mention_id_b",
+            "n_common",
+            "n_union",
+        )
+    )
+
+
+def run_streaming_scored_pairs(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cap: int = 4096,
+    min_jaccard_pct: int = 20,
+    max_files_per_trigger: int | None = 1,
+):
+    """Drain pending transcript files through candidate-pair generation
+    AND stream-static scoring in one streaming query: stateful pair
+    emission (exactly-once per unordered pair), then the stateless
+    scored filter, landing each micro-batch's surviving pairs in
+    ``out_dir/batch_id=N`` exactly-once. The static dimension is read
+    from the SAME input glob — in production it would be the curated
+    mention-attribute table the stream's blocks reference."""
+    static_turns = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(input_path)
+    scored = streaming_scored_pairs(
+        streaming_candidate_pairs(
+            blocked_turns(
+                stream_transcripts(
+                    spark,
+                    input_path,
+                    max_files_per_trigger=max_files_per_trigger,
+                )
+            ),
+            cap=cap,
+        ),
+        mention_token_dim(static_turns),
+        min_jaccard_pct=min_jaccard_pct,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        scored.writeStream.foreachBatch(process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

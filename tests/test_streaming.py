@@ -386,3 +386,57 @@ def test_admit_and_pair_split_invariant(ids, cuts, cap):
         assert set(pairs) == {
             (u[i], u[j]) for i in range(len(u)) for j in range(i + 1, len(u))
         }
+
+
+def test_streaming_scored_pairs_match_batch_and_split_invariant(
+    spark, tmp_path
+):
+    """The stream-static scored pair set equals the batch truth
+    (self-join + token-set Jaccard filter) for both micro-batch splits;
+    integer score columns land exactly."""
+    rows = [
+        ("c0", 0, "alpha beta gamma delta"),
+        ("c1", 0, "alpha beta gamma"),        # high overlap with c0
+        ("c2", 0, "alpha zz yy xx ww vv"),    # same block, low overlap
+        ("c3", 0, "alpha beta zz"),
+        ("c4", 0, "bravo solo"),              # different block, no pair
+    ]
+    t = _pair_turns(spark, rows)
+    inp = tmp_path / "in"
+    for k, cid in enumerate(("c0", "c1", "c2", "c3", "c4")):
+        t.where(F.col("conv_id") == cid).coalesce(1).write.parquet(
+            str(inp / f"f{k}")
+        )
+    # batch truth over the same derivations
+    m = streaming.blocked_turns(t)
+    dim = streaming.mention_token_dim(t)
+    a, b = m.alias("a"), m.alias("b")
+    cand = (
+        a.join(b, "block_key")
+        .where(F.col("a.mention_id") < F.col("b.mention_id"))
+        .select(
+            "block_key",
+            F.col("a.mention_id").alias("mention_id_a"),
+            F.col("b.mention_id").alias("mention_id_b"),
+        )
+    )
+    want = {
+        tuple(r)
+        for r in streaming.streaming_scored_pairs(
+            cand, dim, min_jaccard_pct=40
+        ).collect()
+    }
+    assert want  # the fixture really keeps some pairs...
+    n_cand = cand.count()
+    assert len(want) < n_cand  # ...and really filters some out
+    for tag, mfpt in (("split", 1), ("whole", None)):
+        out, ckpt = tmp_path / f"out_{tag}", tmp_path / f"ck_{tag}"
+        q = streaming.run_streaming_scored_pairs(
+            spark, f"{inp}/*", str(out), str(ckpt),
+            min_jaccard_pct=40, max_files_per_trigger=mfpt,
+        )
+        q.awaitTermination()
+        landed = spark.read.parquet(str(out)).drop("batch_id")
+        assert landed.count() == landed.distinct().count()
+        got = {tuple(r) for r in landed.collect()}
+        assert got == want, tag
