@@ -551,7 +551,6 @@ def streaming_scored_pairs(
     pairs: DataFrame,
     dim: DataFrame,
     min_jaccard_pct: int = 20,
-    broadcast_dim: bool = True,
 ) -> DataFrame:
     """STREAM-STATIC JOIN scoring stage over the streamed candidate
     pairs — the incremental counterpart of the batch blocking →
@@ -573,12 +572,13 @@ def streaming_scored_pairs(
     the scored pair set is a per-row function of the (split-invariant)
     candidate-pair set — any micro-batch split lands the same rows.
 
-    ``broadcast_dim=True`` hints the dim broadcast — right whenever the
-    dimension fits an executor (the 100-TB shape for a per-mention
-    attribute table that fits memory after column pruning: two columns,
-    tokens only). With a dimension too big to broadcast, pass False and
-    let AQE plan the stream-static join; each micro-batch then shuffles
-    only ITS pairs against the dim."""
+    No broadcast hint (repo policy — the dim grows with the corpus):
+    the STATIC side of a stream-static join carries file-level size
+    statistics, so the planner auto-broadcasts it whenever it fits
+    ``autoBroadcastJoinThreshold`` (AQE never runs inside a streaming
+    micro-batch, but static size-based planning does). With a dimension
+    too big to broadcast, each micro-batch shuffles only ITS pairs
+    against the dim — the right 100-TB fallback."""
     da = dim.select(
         F.col("mention_id").alias("mention_id_a"),
         F.col("tokens").alias("__toks_a"),
@@ -587,8 +587,6 @@ def streaming_scored_pairs(
         F.col("mention_id").alias("mention_id_b"),
         F.col("tokens").alias("__toks_b"),
     )
-    if broadcast_dim:
-        da, db = F.broadcast(da), F.broadcast(db)
     return (
         pairs.join(da, "mention_id_a")
         .join(db, "mention_id_b")
