@@ -1715,6 +1715,39 @@ def streaming_scored_pairs(spark, sf_dir):
     )
 
 
+def streaming_cc_components(spark, sf_dir):
+    """INCREMENTAL CONNECTED COMPONENTS under the driver gate
+    (streaming.run_streaming_cc) — the streamed chain's last stage:
+    the dedup-variant fixture drains through the stateful pair
+    generator and the stream-static Jaccard scoring, and each
+    micro-batch's surviving pairs are folded into the persisted
+    component mapping with cluster.merge_edges_into_components (work
+    ∝ the contracted label graph the batch touches, never the corpus;
+    epoch-snapshot state, re-delivery-safe). The merge preserves the
+    min-label invariant per fold, so the final mapping equals batch
+    CC over the full scored-pair set for ANY micro-batch split — the
+    oracle is the recursive-CTE transitive closure over the same
+    batch-derived pairs."""
+    from pboh_spark import streaming
+
+    base, in_path = _stream_fixture(
+        spark, sf_dir, "cc", ("state", "ckpt"), variant="dedup"
+    )
+    q = streaming.run_streaming_cc(
+        spark, str(in_path), str(base / "state"), str(base / "ckpt"),
+        min_jaccard_pct=50,
+    )
+    q.awaitTermination()
+    return (
+        streaming.latest_components(spark, str(base / "state"))
+        .select(
+            F.col("id").alias("mention_id"),
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        )
+        .orderBy("mention_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1739,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r5 leading block: new this round + the 13 outside r04's window
         # (incl. ann_ivf_topk, whose n_probe default changed in r4 AFTER its
         # last driver row — ADVICE r4) --
+        "streaming_cc_components": streaming_cc_components,
         "streaming_scored_pairs": streaming_scored_pairs,
         "streaming_pair_candidates": streaming_pair_candidates,
         "cc_components_star": cc_components_star,
@@ -2786,6 +2820,58 @@ def oracle_sql() -> dict[str, str]:
         WHERE 100 * len(list_intersect(a.toks, b.toks))
               >= 50 * len(list_distinct(a.toks || b.toks))
     """
+    # incremental CC gate: the SAME scored-pair derivation as
+    # stream_scored, closed transitively with a recursive CTE and
+    # labelled by component min — what the epoch-snapshot fold must
+    # equal for any micro-batch split.
+    stream_cc = """
+        WITH RECURSIVE turns AS (
+            SELECT 'doc-' || doc_id::VARCHAR AS conv_id, text
+            FROM documents
+            UNION ALL
+            SELECT 'dup-' || doc_id::VARCHAR, text FROM documents
+            WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT 'dupp-' || doc_id::VARCHAR, text FROM documents
+            WHERE doc_id % 21 = 0
+        ),
+        m AS (
+            SELECT lower(list_filter(string_split(text, ' '),
+                                     x -> x <> '')[1]) AS block_key,
+                   ('0x' || substr(md5(conv_id || '#0'),
+                                   1, 15))::BIGINT AS mention_id,
+                   list_distinct(list_filter(
+                       string_split(lower(text), ' '),
+                       x -> x <> '')) AS toks
+            FROM turns
+            WHERE text IS NOT NULL
+        ),
+        keyed AS (
+            SELECT * FROM m
+            WHERE block_key IS NOT NULL AND block_key <> ''
+        ),
+        pairs AS (
+            SELECT a.mention_id AS ua, b.mention_id AS ub
+            FROM keyed a
+            JOIN keyed b
+              ON a.block_key = b.block_key
+             AND a.mention_id < b.mention_id
+            WHERE 100 * len(list_intersect(a.toks, b.toks))
+                  >= 50 * len(list_distinct(a.toks || b.toks))
+        ),
+        sym AS (
+            SELECT ua AS u, ub AS v FROM pairs
+            UNION
+            SELECT ub AS u, ua AS v FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM sym
+            UNION
+            SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        )
+        SELECT u AS mention_id, least(u, min(v))::BIGINT AS cluster_id
+        FROM reach GROUP BY u ORDER BY mention_id
+    """
     rho_context = """
         WITH turns AS (
             SELECT (doc_id % 50)::VARCHAR AS conv_id,
@@ -3121,6 +3207,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_keeplist": stream_dedup,
         "streaming_pair_candidates": stream_pairs,
         "streaming_scored_pairs": stream_scored,
+        "streaming_cc_components": stream_cc,
         "stat_rho_context": rho_context,
         # pboh_resolve_lbp / pboh_e2e_clusters / pboh_surface_clusters /
         # multimodal_features come from GOLDEN_SQL above (seeded golden-row

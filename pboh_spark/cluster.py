@@ -196,3 +196,105 @@ def clusters_table(
     return out.withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col("mention_id"))
     )
+
+
+def merge_edges_into_components(
+    mapping: DataFrame,
+    edges: DataFrame,
+    src: str = "mention_id_a",
+    dst: str = "mention_id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """INCREMENTAL connected-components merge: fold a batch of new
+    undirected edges into an existing min-id component ``mapping``
+    (``id``, ``cluster_id`` — the output contract of
+    ``connected_components``) and return the updated mapping over every
+    vertex seen so far.
+
+    The work is proportional to the CONTRACTED LABEL GRAPH — only the
+    components the batch actually touches — never to the corpus:
+
+    1. each new edge's endpoints are mapped to their current labels
+       (vertices not yet in the mapping label themselves); edges whose
+       endpoints already share a label vanish,
+    2. ``connected_components`` runs on that contracted graph (size
+       O(|batch|), not O(|mapping|)),
+    3. the resulting (old_label -> new_label) relabel table — again
+       O(|batch|) — is applied to the full mapping with one keyed join.
+
+    Because existing labels are component MINIMA and every new vertex
+    enters the contracted graph labelled by itself, the min over a
+    merged contracted component is the true min-id of the merged
+    component, so the invariant "label = min vertex id of the
+    component" is preserved and the result equals batch
+    ``connected_components`` over the union of all edges ever folded
+    in — independent of how the edge stream was batched. Re-applying
+    an already-folded batch is a no-op (the contracted graph is empty
+    and no endpoint is new), so at-least-once delivery is safe.
+
+    100-TB shape: the two mapping joins keep the big side in place
+    (the batch-derived sides are small and auto-broadcast); the tiny
+    iterative CC runs on the label graph only. The O(|mapping|) cost
+    is the snapshot rewrite the CALLER chooses — a production deploy
+    writes only the changed rows (the relabel-join hits + new-vertex
+    rows) as a delta with latest-epoch-wins merge-on-read and periodic
+    compaction.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    lab = (
+        e.join(
+            mapping.select(
+                F.col("id").alias("u"), F.col("cluster_id").alias("lu")
+            ),
+            "u",
+            "left",
+        )
+        .join(
+            mapping.select(
+                F.col("id").alias("v"), F.col("cluster_id").alias("lv")
+            ),
+            "v",
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("lu"), F.col("u")).alias("la"),
+            F.coalesce(F.col("lv"), F.col("v")).alias("lb"),
+        )
+    )
+    contracted = (
+        lab.where(F.col("la") != F.col("lb"))
+        .select(
+            F.least("la", "lb").alias("la"),
+            F.greatest("la", "lb").alias("lb"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    relabel = connected_components(
+        contracted, "la", "lb", max_iter=max_iter
+    ).select(F.col("id").alias("old_label"), F.col("cluster_id").alias("new_label"))
+
+    updated_existing = mapping.join(
+        relabel, mapping["cluster_id"] == relabel["old_label"], "left"
+    ).select(
+        "id",
+        F.coalesce(F.col("new_label"), F.col("cluster_id")).alias("cluster_id"),
+    )
+    # every endpoint not yet mapped labelled itself in step 1, so it IS
+    # a vertex of the contracted graph and the relabel table covers it
+    new_rows = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .join(mapping.select("id"), "id", "left_anti")
+        .join(relabel, F.col("id") == F.col("old_label"), "left")
+        .select(
+            "id",
+            F.coalesce(F.col("new_label"), F.col("id")).alias("cluster_id"),
+        )
+    )
+    return updated_existing.union(new_rows)

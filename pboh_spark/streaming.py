@@ -655,3 +655,99 @@ def run_streaming_scored_pairs(
         .trigger(availableNow=True)
         .start()
     )
+
+
+_CC_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("cluster_id", T.LongType()),
+    ]
+)
+
+
+def latest_components(
+    spark: SparkSession, state_dir: str, before: int | None = None
+) -> DataFrame:
+    """Current component mapping from the epoch-snapshot state dir:
+    the ``epoch=N`` subdirectory with the highest N (``before`` bounds
+    it to epochs < N — used on re-delivery so a retried micro-batch
+    reads the SAME input state as its failed attempt, making the
+    overwrite of its own epoch deterministic). Empty mapping if no
+    epoch exists yet. Driver-side directory listing — at 100 TB the
+    epoch pointer lives in a manifest/table-format commit log instead,
+    but the snapshot-per-epoch protocol is unchanged."""
+    import os
+
+    epochs = []
+    if os.path.isdir(state_dir):
+        for name in os.listdir(state_dir):
+            if name.startswith("epoch="):
+                n = int(name.split("=", 1)[1])
+                if before is None or n < before:
+                    epochs.append(n)
+    if not epochs:
+        return spark.createDataFrame([], _CC_STATE_SCHEMA)
+    return spark.read.schema(_CC_STATE_SCHEMA).parquet(
+        f"{state_dir}/epoch={max(epochs)}"
+    )
+
+
+def run_streaming_cc(
+    spark: SparkSession,
+    input_path: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    cap: int = 4096,
+    min_jaccard_pct: int = 20,
+    max_files_per_trigger: int | None = 1,
+):
+    """INCREMENTAL CONNECTED COMPONENTS — the streamed counterpart of
+    the batch CC pass, completing the streamed chain blocking →
+    candidate pairs → stream-static scoring → clustering. Each
+    micro-batch's surviving scored pairs are folded into the persisted
+    component mapping with ``cluster.merge_edges_into_components``
+    (work ∝ the contracted label graph the batch touches, never the
+    corpus) inside ``foreachBatch``, and the updated mapping lands as
+    the ``epoch=<batch_id>`` snapshot — exactly-once by construction:
+    a re-delivered batch re-reads the pre-batch epoch and
+    deterministically overwrites its own.
+
+    The final mapping equals batch ``connected_components`` over ALL
+    scored pairs regardless of micro-batch splits (the merge preserves
+    the min-label invariant per fold), which is what makes the
+    streamed path oracle-checkable against the batch recursive-CTE
+    transitive closure."""
+    from pboh_spark.cluster import merge_edges_into_components
+
+    static_turns = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(input_path)
+    scored = streaming_scored_pairs(
+        streaming_candidate_pairs(
+            blocked_turns(
+                stream_transcripts(
+                    spark,
+                    input_path,
+                    max_files_per_trigger=max_files_per_trigger,
+                )
+            ),
+            cap=cap,
+        ),
+        mention_token_dim(static_turns),
+        min_jaccard_pct=min_jaccard_pct,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        mapping = latest_components(spark, state_dir, before=batch_id)
+        updated = merge_edges_into_components(
+            mapping, batch_df.select("mention_id_a", "mention_id_b")
+        )
+        updated.write.mode("overwrite").parquet(
+            f"{state_dir}/epoch={batch_id}"
+        )
+
+    return (
+        scored.writeStream.foreachBatch(process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -440,3 +440,124 @@ def test_streaming_scored_pairs_match_batch_and_split_invariant(
         assert landed.count() == landed.distinct().count()
         got = {tuple(r) for r in landed.collect()}
         assert got == want, tag
+
+
+def test_merge_edges_into_components_folds_match_batch(spark):
+    """Folding edge batches one at a time through the incremental merge
+    equals batch CC over the union, at every prefix; re-folding an
+    already-merged batch is a no-op."""
+    from pboh_spark.cluster import (
+        connected_components,
+        merge_edges_into_components,
+    )
+
+    schema = "mention_id_a long, mention_id_b long"
+    batches = [
+        [(5, 9), (9, 7), (20, 30)],          # two components
+        [(30, 40), (7, 5)],                  # extend one + already-merged edge
+        [(100, 101)],                        # brand-new component
+        [(9, 40)],                           # merge the first two
+    ]
+    m = spark.createDataFrame([], "id long, cluster_id long")
+    seen = []
+    for rows in batches:
+        b = spark.createDataFrame(rows, schema)
+        seen.extend(rows)
+        m = merge_edges_into_components(m, b)
+        want = sorted(
+            tuple(r)
+            for r in connected_components(
+                spark.createDataFrame(seen, schema)
+            ).collect()
+        )
+        assert sorted(tuple(r) for r in m.collect()) == want
+    replay = merge_edges_into_components(
+        m, spark.createDataFrame(batches[1], schema)
+    )
+    assert sorted(tuple(r) for r in replay.collect()) == want
+
+
+def test_streaming_cc_matches_batch_split_invariant_and_resume(
+    spark, tmp_path
+):
+    """The persisted component mapping equals batch CC over the batch
+    scored-pair truth for both micro-batch splits, AND a second drain
+    with the SAME checkpoint/state after new files arrive folds only
+    the new pairs in (incremental resume) — final mapping equals the
+    batch truth over the grown corpus."""
+    from pboh_spark.cluster import connected_components
+
+    rows1 = [
+        ("c0", 0, "alpha beta gamma delta"),
+        ("c1", 0, "alpha beta gamma"),
+        ("c2", 0, "alpha beta gamma epsilon"),
+        ("c3", 0, "zeta solo row"),
+    ]
+    rows2 = [
+        ("c4", 0, "zeta solo row extra"),     # joins c3's block
+        ("c5", 0, "alpha beta delta gamma"),  # joins the alpha cluster
+    ]
+    inp = tmp_path / "in"
+    for k, (cid, ti, tx) in enumerate(rows1):
+        _pair_turns(spark, [(cid, ti, tx)]).coalesce(1).write.parquet(
+            str(inp / f"f{k}")
+        )
+
+    def batch_truth(rows):
+        t = _pair_turns(spark, rows)
+        m = streaming.blocked_turns(t)
+        a, b = m.alias("a"), m.alias("b")
+        cand = (
+            a.join(b, "block_key")
+            .where(F.col("a.mention_id") < F.col("b.mention_id"))
+            .select(
+                "block_key",
+                F.col("a.mention_id").alias("mention_id_a"),
+                F.col("b.mention_id").alias("mention_id_b"),
+            )
+        )
+        scored = streaming.streaming_scored_pairs(
+            cand, streaming.mention_token_dim(t), min_jaccard_pct=40
+        )
+        return sorted(
+            tuple(r) for r in connected_components(scored).collect()
+        )
+
+    state, ckpt = tmp_path / "state", tmp_path / "ck"
+    q = streaming.run_streaming_cc(
+        spark, f"{inp}/*", str(state), str(ckpt), min_jaccard_pct=40,
+    )
+    q.awaitTermination()
+    got1 = sorted(
+        tuple(r)
+        for r in streaming.latest_components(spark, str(state)).collect()
+    )
+    assert got1 == batch_truth(rows1)
+
+    # whole-drain split lands the same mapping
+    state_w, ckpt_w = tmp_path / "state_w", tmp_path / "ck_w"
+    q = streaming.run_streaming_cc(
+        spark, f"{inp}/*", str(state_w), str(ckpt_w),
+        min_jaccard_pct=40, max_files_per_trigger=None,
+    )
+    q.awaitTermination()
+    assert sorted(
+        tuple(r)
+        for r in streaming.latest_components(spark, str(state_w)).collect()
+    ) == got1
+
+    # new files arrive; SAME checkpoint + state → incremental fold
+    for k, (cid, ti, tx) in enumerate(rows2):
+        _pair_turns(spark, [(cid, ti, tx)]).coalesce(1).write.parquet(
+            str(inp / f"g{k}")
+        )
+    q = streaming.run_streaming_cc(
+        spark, f"{inp}/*", str(state), str(ckpt), min_jaccard_pct=40,
+    )
+    q.awaitTermination()
+    got2 = sorted(
+        tuple(r)
+        for r in streaming.latest_components(spark, str(state)).collect()
+    )
+    assert got2 == batch_truth(rows1 + rows2)
+    assert len(got2) > len(got1)
