@@ -94,25 +94,24 @@ def hyperplane_signatures(
     plane constants fold into the plan; no UDF)."""
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_tables, n_bits, dim))
-    outs = []
     v = F.col(vec_col).cast("array<double>")
+    sigs = []
     for t in range(n_tables):
         sig = F.lit(0).cast("bigint")
         for i in range(n_bits):
             r = F.array(*[F.lit(float(x)) for x in planes[t, i]])
             bit = (_dot(v, r) > 0).cast("bigint")
             sig = sig + F.shiftleft(bit, i)
-        outs.append(
-            vectors.select(
-                F.col(id_col).alias("vid"),
-                F.lit(t).alias("table"),
-                sig.alias("sig"),
-            )
-        )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res
+        sigs.append(sig)
+    # one scan computes every table's signature, then posexplode fans
+    # out to (vid, table, sig) rows — the per-table union this replaces
+    # re-scanned (and re-derived) the input once per table, 2× that
+    # under the bucket self-join. Values are identical: posexplode's
+    # pos IS the table index the unions tagged with F.lit(t).
+    return vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.array(*sigs)).alias("table", "sig"),
+    )
 
 
 def lsh_topk(
