@@ -269,11 +269,20 @@ def ivf_topk(
     assigned = with_cosine(
         c.crossJoin(F.broadcast(cents)), "cv", "cvec", "ccos"
     )
-    w = Window.partitionBy("neighbor_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    # top-1 centroid per corpus vector via max_by, NOT a row_number
+    # window: the window would shuffle all corpus×n_cells rows on
+    # neighbor_id; max_by partial-aggregates map-side, so only one row
+    # per vector reaches the wire. Tie-break matches the former
+    # window's (desc ccos, asc cid): max over (ccos, -cid).
+    best = F.max_by(
+        F.struct(F.col("cid"), F.col("cv")),
+        F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid")),
+    ).alias("best")
     cell_of = (
-        assigned.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .select("neighbor_id", "cid", "cv")
+        assigned.groupBy("neighbor_id")
+        .agg(best)
+        .select("neighbor_id", F.col("best.cid").alias("cid"),
+                F.col("best.cv").alias("cv"))
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
