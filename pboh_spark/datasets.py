@@ -708,13 +708,23 @@ def freebase_wiki_mapping(
         .groupBy("ext_id", "title", "entity")
         .agg(F.count("*").alias("n"))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("ext_id").orderBy(F.desc("n"), F.asc("title"))
+    # majority winner per ext_id via min_by over (-n, title): max count,
+    # ties to smallest title — identical to the row_number window this
+    # replaces, but partial-aggregated map-side (one row per ext_id over
+    # the wire instead of every candidate row; BENCH.md lesson 10)
     return (
-        counted.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("ext_id", "entity", "title")
+        counted.groupBy("ext_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("entity"), F.col("title")),
+                F.struct((-F.col("n")).alias("nn"), F.col("title")),
+            ).alias("b")
+        )
+        .select(
+            "ext_id",
+            F.col("b.entity").alias("entity"),
+            F.col("b.title").alias("title"),
+        )
     )
 
 

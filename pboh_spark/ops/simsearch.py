@@ -187,11 +187,18 @@ def _lloyd_refine(base: DataFrame, cents: DataFrame) -> DataFrame:
     assigned = with_cosine(
         base.crossJoin(F.broadcast(cents)), "cvec0", "cvec", "acos"
     )
-    w = Window.partitionBy("cid0").orderBy(F.desc("acos"), F.asc("cid"))
+    # nearest centroid per corpus vector via max_by (map-side partial
+    # agg: one row per vector over the wire, not n_cells) — same
+    # tie-break as the former row_number window (desc acos, asc cid)
     member = (
-        assigned.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .select("cid", F.col("cvec0").alias("v"))
+        assigned.groupBy("cid0")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cid"), F.col("cvec0")),
+                F.struct(F.col("acos"), (-F.col("cid")).alias("ncid")),
+            ).alias("b")
+        )
+        .select(F.col("b.cid").alias("cid"), F.col("b.cvec0").alias("v"))
     )
     ex = member.select("cid", F.posexplode("v").alias("pos", "val"))
     means = ex.groupBy("cid", "pos").agg(
