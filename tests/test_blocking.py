@@ -107,3 +107,86 @@ def test_shingle_hashes_byte_identical_to_scalar_fnv():
     for s in ["", "a", "ab", "abc", "quantum analytics corp",
               "náïve ünïcode ⚙", "x" * 200]:
         assert _shingle_hashes(s).tolist() == scalar(s), repr(s)
+
+
+def test_salt_and_cap_semantic_invariants(spark):
+    """The skew guard's three semantic invariants (measured side:
+    tools/skew_bench.py / BENCH.md; this pins the set semantics):
+
+    1. row preservation — salting renames block keys, never drops,
+       duplicates, or reassigns rows: the multiset of (base block key,
+       mention_id) is unchanged;
+    2. pair containment — the salted candidate-pair id set is a subset
+       of the uncapped one (the documented recall trade only DROPS
+       cross-sub-block pairs, it can never invent a pair);
+    3. untouched-block equality — pairs whose blocks are all under the
+       cap land with IDENTICAL values (ids, prior_agreement,
+       shared_entity), so the guard is a no-op outside hot keys.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pboh_spark.pairs import candidate_pairs
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # hot block far over cap, two cold blocks under it; overlapping
+    # membership so some pairs share hot AND cold blocks
+    for i in range(300):
+        rows.append(("e1", "c0", 0, i, f"m{i}", 1, float(rng.uniform(0.1, 1))))
+    for i in range(40):
+        rows.append(("e2", "c0", 0, i, f"m{i}", 2, float(rng.uniform(0.1, 1))))
+    for i in range(250, 290):
+        rows.append(("e3", "c0", 0, i, f"m{i}", 3, float(rng.uniform(0.1, 1))))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "block_key", "conv_id", "turn_idx", "mention_id",
+                "ngram", "cand_entity", "prob",
+            ],
+        )
+    )
+    salted, _ = blocking.salt_and_cap(df, cap=64, persist=False)
+
+    # 1. row preservation under base key
+    base = salted.withColumn(
+        "block_key", F.split(F.col("block_key"), "#")[0]
+    )
+    want_rows = sorted(map(tuple, df.collect()))
+    got_rows = sorted(map(tuple, base.collect()))
+    assert got_rows == want_rows
+
+    unsalted_pairs = {
+        (r["mention_id_a"], r["mention_id_b"]): (
+            round(r["prior_agreement"], 12), r["shared_entity"]
+        )
+        for r in candidate_pairs(df).collect()
+    }
+    salted_pairs = {
+        (r["mention_id_a"], r["mention_id_b"]): (
+            round(r["prior_agreement"], 12), r["shared_entity"]
+        )
+        for r in candidate_pairs(salted).collect()
+    }
+    # 2. containment (and the hot block really was split: strictly fewer)
+    assert set(salted_pairs) < set(unsalted_pairs)
+
+    # 3. pairs touching only under-cap blocks are value-identical.
+    # e2/e3 members also sit in the hot e1 block, so restrict to pairs
+    # whose BOTH sides share an under-cap block and whose hot-block
+    # co-membership survived the split — cleanest check: every salted
+    # pair whose prior_agreement came only from e2/e3 must equal the
+    # unsalted value; pairs sharing a surviving hot sub-block carry the
+    # e1 term on both sides identically. So: any salted pair whose
+    # value DIFFERS from unsalted must have lost exactly the e1 term.
+    e1_prob = {
+        r["mention_id"]: r["prob"]
+        for r in df.where(F.col("block_key") == "e1").collect()
+    }
+    for pair, (agree, _ent) in salted_pairs.items():
+        want_agree, want_ent = unsalted_pairs[pair]
+        if abs(agree - want_agree) > 1e-12:
+            a, b = pair
+            lost = e1_prob[a] * e1_prob[b]
+            assert abs((want_agree - agree) - lost) < 1e-9
