@@ -254,10 +254,17 @@ def aida_mentions_gold(
             "conv_id",
             "pos",
             F.trim(F.lower(F.element_at(fields, 3))).alias("ngram"),
+            # try_element_at + try_cast, not element_at/cast: a truncated
+            # B-line with < 6 tab fields (or junk in the numeric id)
+            # must DROP via the isNotNull filter below, not abort the
+            # whole parse under ANSI mode (module convention — see
+            # load_wikipedia_gold)
             F.regexp_extract(
-                F.element_at(fields, 5), r"/wiki/([^/]*)$", 1
+                F.try_element_at(fields, F.lit(5)), r"/wiki/([^/]*)$", 1
             ).alias("entity_title"),
-            F.element_at(fields, 6).cast("long").alias("entity"),
+            F.try_element_at(fields, F.lit(6)).try_cast("long").alias(
+                "entity"
+            ),
         )
         .where((F.col("ngram") != "") & F.col("entity").isNotNull())
     )
@@ -431,7 +438,10 @@ def load_gerbil_gold(
             "conv_id",
             "pos",
             F.trim(F.lower(nextline("SurfaceForm"))).alias("ngram"),
-            F.trim(nextline("Offset")).cast("int").alias("offset"),
+            # try_cast: a block with a missing/misplaced Offset line
+            # yields "" here — NULL offset, not an ANSI abort of the
+            # whole Problems/ parse
+            F.trim(nextline("Offset")).try_cast("int").alias("offset"),
             F.trim(nextline("Annotation")).alias("entity_title"),
         )
         .where(
@@ -669,10 +679,6 @@ def _main() -> None:
     print(json.dumps(metrics, indent=1))
 
 
-if __name__ == "__main__":
-    _main()
-
-
 def freebase_wiki_mapping(
     fb_rows: DataFrame,
     title_index: DataFrame,
@@ -842,3 +848,10 @@ def load_wikipedia_context(
         F.lit(None).cast("string").alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"),
     )
+
+
+# at END of module so the CLI can dispatch to every loader above
+# (a mid-file guard made --format wikipedia NameError before its loader
+# was defined)
+if __name__ == "__main__":
+    _main()

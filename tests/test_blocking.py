@@ -184,9 +184,12 @@ def test_salt_and_cap_semantic_invariants(spark):
         r["mention_id"]: r["prob"]
         for r in df.where(F.col("block_key") == "e1").collect()
     }
-    for pair, (agree, _ent) in salted_pairs.items():
+    for pair, (agree, ent) in salted_pairs.items():
         want_agree, want_ent = unsalted_pairs[pair]
         if abs(agree - want_agree) > 1e-12:
             a, b = pair
             lost = e1_prob[a] * e1_prob[b]
             assert abs((want_agree - agree) - lost) < 1e-9
+        else:
+            # untouched pair: the deterministic argmax must agree too
+            assert ent == want_ent, pair

@@ -96,7 +96,11 @@ def _run_once(spark, blocked, cap: int) -> tuple[int, float, int]:
     from pboh_spark import pairs as pairs_mod
 
     t0 = time.time()
-    salted, _ = blocking.salt_and_cap(blocked, cap=cap)
+    # persist=False: the CALLER persisted the input (off the clock), and
+    # salt_and_cap(persist=True) would append that same DataFrame to the
+    # module cache — release_persisted() would then evict the caller's
+    # cache and later trials would rebuild the corpus inside the clock
+    salted, _ = blocking.salt_and_cap(blocked, cap=cap, persist=False)
     pairs = pairs_mod.candidate_pairs(salted)
     # aggregate over a computed column so Catalyst can't prune the work
     row = pairs.agg(
@@ -111,7 +115,6 @@ def _run_once(spark, blocked, cap: int) -> tuple[int, float, int]:
         .agg(F.max("count"))
         .collect()[0][0]
     )
-    blocking.release_persisted()
     return int(row["n"]), dt, int(max_blk)
 
 

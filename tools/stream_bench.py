@@ -106,9 +106,18 @@ def main() -> None:
         comps, scored = _batch_components(
             spark, input_glob, args.min_jaccard_pct
         )
+        # persist before the count so scoring runs ONCE: the count
+        # materializes the cache and the CC pass reads it — without
+        # this, batch_sec double-counts the scoring join (count once,
+        # then again under connected_components' lineage)
+        scored = scored.persist()
         n_pairs = scored.count()
+        # comps' plan CONTAINS scored's subtree; it is planned at
+        # collect time, after the cache materialized, so the cache
+        # manager substitutes the in-memory relation
         batch_rows = comps.collect()
         batch_sec = time.time() - t0
+        scored.unpersist()
         batch_map = sorted(tuple(r) for r in batch_rows)
 
         # --- streamed chain, one micro-batch vs n_files micro-batches ---
