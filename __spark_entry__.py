@@ -946,6 +946,23 @@ def text_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (ops/decontam.ngram_contamination —
+    ours-beyond-reference, the standard n-gram test-set-leakage filter):
+    benchmark = the deterministic ``doc_id % 17 == 0`` subset of the
+    documents table standing in for an eval set; word 8-grams, 20%
+    integer threshold. Benchmark members land fully contaminated and
+    the corpus' planted near-duplicates of them trip the flag too —
+    exactly the rows a keep-list must drop before training. INTEGER-only
+    output (counts + flag), so the values hash identically cross-engine
+    with no float-rounding surface."""
+    from pboh_spark.ops.decontam import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 17 == 0)
+    return ngram_contamination(d, bench, n=8, min_pct=20)
+
+
 # ---------------------------------------------------------------------------
 # similarity search (ops/simsearch.py)
 # ---------------------------------------------------------------------------
@@ -1772,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r5 leading block: new this round + the 13 outside r04's window
         # (incl. ann_ivf_topk, whose n_probe default changed in r4 AFTER its
         # last driver row — ADVICE r4) --
+        "text_decontaminate": text_decontaminate,
         "streaming_cc_components": streaming_cc_components,
         "streaming_scored_pairs": streaming_scored_pairs,
         "streaming_pair_candidates": streaming_pair_candidates,
@@ -2525,6 +2543,40 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         ) f USING (doc_id)
     """
+    # k=8 word shingles per doc (same clamped-slice semantics as
+    # ops/dedup.word_shingles / the k=3 _SHINGLES_SQL); benchmark set =
+    # distinct shingles of the doc_id % 17 == 0 subset; integer-only
+    # output so no float rounding surface exists cross-engine
+    decontam = """
+        WITH corpus_sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       array_to_string(w[i + 1 : i + 8], ' ') AS shingle
+                FROM (SELECT doc_id,
+                             list_filter(string_split(lower(text), ' '),
+                                         x -> x <> '') AS w
+                      FROM documents),
+                     UNNEST(range(0, greatest(len(w) - 8, 0) + 1)) AS t(i)
+            ) WHERE length(shingle) > 0
+        ),
+        bench_sh AS (
+            SELECT DISTINCT shingle FROM corpus_sh WHERE doc_id % 17 = 0
+        ),
+        sizes AS (
+            SELECT doc_id, count(*)::BIGINT AS n_ngrams
+            FROM corpus_sh GROUP BY doc_id
+        ),
+        hits AS (
+            SELECT c.doc_id, count(*)::BIGINT AS n_contaminated
+            FROM corpus_sh c JOIN bench_sh b USING (shingle)
+            GROUP BY c.doc_id
+        )
+        SELECT s.doc_id, s.n_ngrams,
+               coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+               coalesce(h.n_contaminated, 0) * 100 >= s.n_ngrams * 20
+                   AS is_contaminated
+        FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+    """
     ann = """
         WITH q AS (
             SELECT vec_id AS query_id, embedding AS qv
@@ -3196,6 +3248,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": quality,
         "text_language_id": lang,
         "text_fingerprint": fingerprint,
+        "text_decontaminate": decontam,
         "ann_cosine_topk": ann,
         "ann_ivf_topk": ann_ivf,
         "ann_lsh_topk": ann_lsh,

@@ -318,3 +318,41 @@ def test_zero_norm_embedding_does_not_abort(spark, emb):
         zero.selectExpr("embedding as a", "embedding as b"), "a", "b"
     ).first()
     assert row["cosine"] is None
+
+
+def test_ngram_contamination_planted(spark):
+    """Decontamination oracle on a hand-built corpus: a doc IN the
+    benchmark is fully contaminated; a doc embedding a benchmark
+    passage crosses the threshold; a clean doc counts zero; a short
+    (< n words) doc still gets one n-gram and a row. Counts are checked
+    against a brute-force python n-gram set computation."""
+    from pboh_spark.ops.decontam import ngram_contamination
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    docs_rows = [
+        (1, bench_text),                                  # the leak itself
+        (2, "intro words " + bench_text + " trailing words here"),
+        (3, "a completely different document about spark aggregation "
+            "plans and shuffle boundaries with no shared passages"),
+        (4, "too short"),                                 # < n words
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_contaminated"], r["is_contaminated"])
+        for r in ngram_contamination(docs, bench, n=8, min_pct=20).collect()
+    }
+
+    def grams(text, n=8):
+        w = [x for x in text.lower().split(" ") if x]
+        return {" ".join(w[i : i + n]) for i in range(max(len(w) - n, 0) + 1)}
+
+    bset = grams(bench_text)
+    for doc_id, text in docs_rows:
+        g = grams(text)
+        want = (len(g), len(g & bset))
+        assert got[doc_id][:2] == want, doc_id
+        assert got[doc_id][2] == (want[1] * 100 >= want[0] * 20), doc_id
+    assert got[1][2] is True         # full leak flagged
+    assert got[3] == (got[3][0], 0, False)   # clean doc: zero hits
+    assert got[4][0] == 1            # short doc clamps to one n-gram
