@@ -963,6 +963,35 @@ def text_decontaminate(spark, sf_dir):
     return ngram_contamination(d, bench, n=8, min_pct=20)
 
 
+def text_pii_scan(spark, sf_dir):
+    """PII scan (ops/pii.pii_scan — ours-beyond-reference, the hygiene
+    pass next to dedup/decontamination): deterministic PII is planted
+    column-side on the ``doc_id % 23 == 0`` documents (an email, an
+    IPv4, a phone — engine-portable string concat), then the pure-regexp
+    scan counts each class per document. Patterns live in the
+    Java-regex ∩ RE2 intersection so Spark and the DuckDB oracle count
+    identically; INTEGER counts + boolean flag only — no text and no
+    floats land, so the value hash has no dialect surface."""
+    from pboh_spark.ops.pii import pii_scan
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ip 10.0."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".7 tel 555-867-5309"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return pii_scan(planted)
+
+
 # ---------------------------------------------------------------------------
 # similarity search (ops/simsearch.py)
 # ---------------------------------------------------------------------------
@@ -1790,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (incl. ann_ivf_topk, whose n_probe default changed in r4 AFTER its
         # last driver row — ADVICE r4) --
         "text_decontaminate": text_decontaminate,
+        "text_pii_scan": text_pii_scan,
         "streaming_cc_components": streaming_cc_components,
         "streaming_scored_pairs": streaming_scored_pairs,
         "streaming_pair_candidates": streaming_pair_candidates,
@@ -2543,6 +2573,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         ) f USING (doc_id)
     """
+    # same planted-PII derivation and the same Java∩RE2 patterns as the
+    # Spark query (ops/pii.py); counts of FULL matches (group 0)
+    from pboh_spark.ops.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    pii = f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 23 = 0
+                        THEN text || ' contact user' || doc_id::VARCHAR
+                             || '@example.com ip 10.0.'
+                             || (doc_id % 200)::VARCHAR || '.7 tel 555-867-5309'
+                        ELSE text END AS text
+            FROM documents
+        ),
+        counted AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{EMAIL_RE}', 0))::BIGINT AS n_emails,
+                   len(regexp_extract_all(text, '{IPV4_RE}', 0))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(text, '{PHONE_RE}', 0))::BIGINT AS n_phones
+            FROM planted
+        )
+        SELECT doc_id, n_emails, n_ipv4, n_phones,
+               (n_emails > 0 OR n_ipv4 > 0 OR n_phones > 0) AS has_pii
+        FROM counted
+    """
     # k=8 word shingles per doc (same clamped-slice semantics as
     # ops/dedup.word_shingles / the k=3 _SHINGLES_SQL); benchmark set =
     # distinct shingles of the doc_id % 17 == 0 subset; integer-only
@@ -3249,6 +3304,7 @@ def oracle_sql() -> dict[str, str]:
         "text_language_id": lang,
         "text_fingerprint": fingerprint,
         "text_decontaminate": decontam,
+        "text_pii_scan": pii,
         "ann_cosine_topk": ann,
         "ann_ivf_topk": ann_ivf,
         "ann_lsh_topk": ann_lsh,

@@ -356,3 +356,34 @@ def test_ngram_contamination_planted(spark):
     assert got[1][2] is True         # full leak flagged
     assert got[3] == (got[3][0], 0, False)   # clean doc: zero hits
     assert got[4][0] == 1            # short doc clamps to one n-gram
+
+
+def test_pii_scan_and_redact(spark):
+    """PII scan counts each planted class; redaction strips every match
+    and leaves clean text byte-identical."""
+    from pboh_spark.ops.pii import pii_scan, redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+spam@sub.example.org or 10.1.2.3"),
+        (2, "call 555-123-4567 or 555.765.4321 tomorrow"),
+        (3, "nothing sensitive here, just 1234 and a.b"),
+        (4, "two mails: a@b.io and c_d%x@e-f.co end"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_emails"], r["n_ipv4"], r["n_phones"], r["has_pii"])
+        for r in pii_scan(docs).collect()
+    }
+    assert got[1] == (1, 1, 0, True)
+    assert got[2] == (0, 0, 2, True)
+    assert got[3] == (0, 0, 0, False)
+    assert got[4] == (2, 0, 0, True)
+
+    red = {r["doc_id"]: r["text"] for r in redact_pii(docs).collect()}
+    assert red[1] == "mail me at <EMAIL> or <IP>"
+    assert red[2] == "call <PHONE> or <PHONE> tomorrow"
+    assert red[3] == rows[2][1]          # clean text untouched
+    assert red[4] == "two mails: <EMAIL> and <EMAIL> end"
+    # redacted corpus scans clean
+    again = pii_scan(redact_pii(docs))
+    assert again.where(F.col("has_pii")).count() == 0
