@@ -992,6 +992,20 @@ def text_pii_scan(spark, sf_dir):
     return pii_scan(planted)
 
 
+def text_chunk_windows(spark, sf_dir):
+    """Token-window chunking (ops/chunk.chunk_documents —
+    ours-beyond-reference, the sequence-packing step of a training-data
+    pipeline): documents split into 64-token windows overlapping by 8.
+    Pure column expressions, zero shuffles; single-space tokenization
+    and integer chunk-count arithmetic so the DuckDB oracle lands
+    byte-identical (chunk_idx, n_tokens, chunk_text) rows."""
+    from pboh_spark.ops.chunk import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=64, overlap=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search (ops/simsearch.py)
 # ---------------------------------------------------------------------------
@@ -1820,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # last driver row — ADVICE r4) --
         "text_decontaminate": text_decontaminate,
         "text_pii_scan": text_pii_scan,
+        "text_chunk_windows": text_chunk_windows,
         "streaming_cc_components": streaming_cc_components,
         "streaming_scored_pairs": streaming_scored_pairs,
         "streaming_pair_candidates": streaming_pair_candidates,
@@ -2598,6 +2613,30 @@ def oracle_sql() -> dict[str, str]:
                (n_emails > 0 OR n_ipv4 > 0 OR n_phones > 0) AS has_pii
         FROM counted
     """
+    # 64-token windows, 8-token overlap (step 56): same single-space
+    # split, integer chunk-count formula, and clamped slices as
+    # ops/chunk.chunk_documents
+    chunks = """
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents
+        ),
+        counted AS (
+            SELECT doc_id, w,
+                   ((greatest(len(w) - 8, 1) + 55) // 56) AS n_chunks
+            FROM words
+        ),
+        chunked AS (
+            SELECT doc_id, i::INT AS chunk_idx,
+                   w[i * 56 + 1 : i * 56 + 64] AS cw
+            FROM counted, UNNEST(range(0, n_chunks)) AS t(i)
+        )
+        SELECT doc_id, chunk_idx,
+               len(cw)::BIGINT AS n_tokens,
+               array_to_string(cw, ' ') AS chunk_text
+        FROM chunked WHERE len(cw) > 0
+    """
     # k=8 word shingles per doc (same clamped-slice semantics as
     # ops/dedup.word_shingles / the k=3 _SHINGLES_SQL); benchmark set =
     # distinct shingles of the doc_id % 17 == 0 subset; integer-only
@@ -3305,6 +3344,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": fingerprint,
         "text_decontaminate": decontam,
         "text_pii_scan": pii,
+        "text_chunk_windows": chunks,
         "ann_cosine_topk": ann,
         "ann_ivf_topk": ann_ivf,
         "ann_lsh_topk": ann_lsh,

@@ -387,3 +387,41 @@ def test_pii_scan_and_redact(spark):
     # redacted corpus scans clean
     again = pii_scan(redact_pii(docs))
     assert again.where(F.col("has_pii")).count() == 0
+
+
+def test_chunk_documents_reconstruction(spark):
+    """Chunking invariants: every token covered, consecutive chunks
+    share exactly `overlap` tokens except at the clamped tail, stripping
+    the overlap reconstructs the token stream, short and empty docs
+    behave (one chunk / no chunk)."""
+    from pboh_spark.ops.chunk import chunk_documents
+
+    long_text = " ".join(f"t{i}" for i in range(300))
+    rows = [
+        (1, long_text),
+        (2, "only five little tokens here"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(docs, chunk_size=64, overlap=8)
+    got = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+         for r in out.collect())
+    )
+    by_doc = {}
+    for doc_id, idx, n_tok, txt in got:
+        by_doc.setdefault(doc_id, []).append((idx, n_tok, txt.split(" ")))
+    assert 3 not in by_doc                      # empty doc: no chunks
+    assert len(by_doc[2]) == 1 and by_doc[2][0][2] == rows[1][1].split(" ")
+
+    toks = long_text.split(" ")
+    chunks = [c for _i, _n, c in sorted(by_doc[1])]
+    step = 64 - 8
+    # coverage + exact overlap
+    for i, c in enumerate(chunks):
+        assert c == toks[i * step : i * step + 64], i
+    # reconstruction: first chunk + tails of the rest
+    rebuilt = chunks[0] + [t for c in chunks[1:] for t in c[8:]]
+    assert rebuilt == toks
+    # chunk count matches the integer formula
+    assert len(chunks) == (max(len(toks) - 8, 1) + step - 1) // step
