@@ -48,14 +48,20 @@ def word_shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
     """(doc_id, shingle) — distinct word k-grams of the lowercased text.
     Pure array ops: split → transform over a sliding index range →
     explode. (The n-gram primitive under jaccard/minhash/simhash.)"""
+    from pboh_spark.util import ensure_parallelism
+
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
     )
+    # the shingle expansion is the expensive per-row work of every
+    # consumer (jaccard/minhash/LSH); a single-partition input (one small
+    # parquet row group) would run it all on one core — no-op at scale
     return (
-        docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        ensure_parallelism(docs)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
         .where(F.length("shingle") > 0)
     )
 

@@ -59,10 +59,14 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, neighbor_id, cosine,
     rank). ``queries`` must be small (broadcast side)."""
+    from pboh_spark.util import ensure_parallelism
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(
+    # the broadcast-NL probe evaluates |corpus|·|queries| cosines in the
+    # corpus scan tasks — floor the scan parallelism (no-op at scale)
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     joined = c.crossJoin(F.broadcast(q)).where(
@@ -90,28 +94,63 @@ def hyperplane_signatures(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, table, sig) — sign-LSH: sig bit i = [v·r_i > 0] for seeded
-    gaussian hyperplanes. Column-expression dot products per plane (the
-    plane constants fold into the plan; no UDF)."""
+    gaussian hyperplanes.
+
+    mapInArrow kernel (guide §4.2): the former pure-JVM form was
+    n_tables·n_bits separate ``aggregate(zip_with(...))`` subtrees with
+    n_tables·n_bits·dim literal leaves — Catalyst spent seconds
+    analyzing/optimizing that tree on EVERY query build, and the
+    interpreted higher-order functions evaluated the dot products
+    row-at-a-time. One Arrow batch × one numpy pass computes every
+    plane's dot product vectorized. Bit-parity with the old expression
+    is preserved exactly: the accumulation loops over the dim axis in
+    order (acc = acc + v[k]·r[k], plain IEEE mul/add, no FMA), which is
+    the same left-to-right fold ``aggregate(zip_with(v, r, *))``
+    performed, so every signature bit — including near-zero dots — is
+    unchanged (asserted row-for-row in tests/test_ops.py)."""
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_tables, n_bits, dim))
-    v = F.col(vec_col).cast("array<double>")
-    sigs = []
-    for t in range(n_tables):
-        sig = F.lit(0).cast("bigint")
-        for i in range(n_bits):
-            r = F.array(*[F.lit(float(x)) for x in planes[t, i]])
-            bit = (_dot(v, r) > 0).cast("bigint")
-            sig = sig + F.shiftleft(bit, i)
-        sigs.append(sig)
-    # one scan computes every table's signature, then posexplode fans
-    # out to (vid, table, sig) rows — the per-table union this replaces
-    # re-scanned (and re-derived) the input once per table, 2× that
-    # under the bucket self-join. Values are identical: posexplode's
-    # pos IS the table index the unions tagged with F.lit(t).
-    return vectors.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(F.array(*sigs)).alias("table", "sig"),
+    # (dim, n_tables*n_bits): column p = plane (p // n_bits, p % n_bits)
+    w_cols = planes.reshape(n_tables * n_bits, dim).T.copy()
+    pows = (1 << np.arange(n_bits, dtype=np.int64))
+    id_type = vectors.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0)
+            varr = batch.column(1)
+            # flatten() honors the list array's offset (values does not)
+            vals = np.asarray(varr.flatten(), dtype=np.float64)
+            v = vals.reshape(n, dim)
+            acc = np.zeros((n, n_tables * n_bits), dtype=np.float64)
+            for k in range(dim):  # ordered fold ≡ aggregate(zip_with)
+                acc += v[:, k : k + 1] * w_cols[k]
+            bits = (acc > 0).reshape(n, n_tables, n_bits)
+            sigs = (bits * pows).sum(axis=2, dtype=np.int64)  # (n, n_tables)
+            # row layout matches the former posexplode: for each input row,
+            # n_tables consecutive rows with table = 0..n_tables-1
+            rep_ids = np.repeat(np.arange(n), n_tables)
+            tables = np.tile(np.arange(n_tables, dtype=np.int32), n)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(rep_ids)),
+                    pa.array(tables, type=pa.int32()),
+                    pa.array(sigs.reshape(-1), type=pa.int64()),
+                ],
+                names=["vid", "table", "sig"],
+            )
+
+    from pboh_spark.util import ensure_parallelism
+
+    src = ensure_parallelism(vectors).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>")
     )
+    return src.mapInArrow(gen, f"vid {id_type}, table int, sig bigint")
 
 
 def lsh_topk(
@@ -262,7 +301,9 @@ def ivf_topk(
     if cents.count() < n_cells:
         cents = base.orderBy(hashed).limit(n_cells)
     if refine_iters:
-        lloyd_base = corpus.select(
+        from pboh_spark.util import ensure_parallelism as _ep
+
+        lloyd_base = _ep(corpus).select(
             F.col(id_col).alias("cid0"), F.col(vec_col).alias("cvec0")
         )
         for _ in range(refine_iters):
@@ -270,7 +311,9 @@ def ivf_topk(
         # n_cells rows consumed by three downstream joins — materialize
         # once instead of recomputing the refinement lineage per consumer
         cents = cents.localCheckpoint()
-    c = corpus.select(
+    from pboh_spark.util import ensure_parallelism
+
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     assigned = with_cosine(

@@ -1,0 +1,29 @@
+"""Shared plan-shape helpers for the operator library."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Scale-adaptive floor on a DataFrame's partition count (guide §2/§6).
+
+    Small inputs (a single small parquet file has one row group, hence ONE
+    scan partition regardless of ``spark.sql.files.*``) serialize every
+    per-row transformation onto one core until the first exchange — for
+    expansion-heavy operators (shingle explode, per-row hashing, vector
+    math) that single task dominates the whole job on a many-core
+    executor. This helper round-robin repartitions up to the session's
+    default parallelism ONLY when the input has fewer partitions; on a
+    real corpus (thousands of scan partitions) it is a provable no-op, so
+    it cannot add a shuffle at scale.
+
+    Deterministic for results: every caller aggregates/joins by key
+    downstream, so row-to-partition placement never reaches an output
+    (the repo's partition-independence invariant).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -425,3 +425,41 @@ def test_chunk_documents_reconstruction(spark):
     assert rebuilt == toks
     # chunk count matches the integer formula
     assert len(chunks) == (max(len(toks) - 8, 1) + step - 1) // step
+
+
+def test_hyperplane_signatures_bit_parity_with_jvm_fold(spark, emb):
+    """The mapInArrow sign-LSH kernel must reproduce the JVM
+    aggregate(zip_with(...)) fold bit-for-bit: the numpy loop accumulates
+    over the dim axis in the same left-to-right order with plain IEEE
+    mul/add, so every signature — including near-zero dots — matches the
+    column-expression reference exactly (the optimization contract of
+    the r6 rewrite)."""
+    dim = len(emb.first()["embedding"])
+    rng = np.random.default_rng(42)
+    for n_bits, n_tables in ((8, 6), (4, 12)):
+        planes = np.random.default_rng(42).normal(size=(n_tables, n_bits, dim))
+        v = F.col("embedding").cast("array<double>")
+
+        def dot(a, b):
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            )
+
+        sigs = []
+        for t in range(n_tables):
+            sig = F.lit(0).cast("bigint")
+            for i in range(n_bits):
+                r = F.array(*[F.lit(float(x)) for x in planes[t, i]])
+                sig = sig + F.shiftleft((dot(v, r) > 0).cast("bigint"), i)
+            sigs.append(sig)
+        ref = emb.select(
+            F.col("vec_id").alias("vid"),
+            F.posexplode(F.array(*sigs)).alias("table", "sig"),
+        )
+        got = simsearch.hyperplane_signatures(
+            emb, dim, n_bits=n_bits, n_tables=n_tables, seed=42
+        )
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0
