@@ -1069,14 +1069,25 @@ def _seeded_corpus(spark):
 def _seeded_resolve_inputs(spark):
     """_seeded_corpus plus the resolution-side statistics and candidate
     table: (gold, mentions, cand, lam, scalars) — the shared front half
-    of the LBP and weight-learning queries."""
+    of the LBP and weight-learning queries.
+
+    r6 shuffle-sharing (guide §2.4): the unpruned co-occurrence table is
+    built ONCE and serves both the distinct-pair scalar (its row count)
+    and the λ potential — previously corpus_scalars re-ran the same
+    (doc,entity) self-join a second time just to count it. The multiply-
+    consumed small statistics tables (cooc, entity_stats, candidates)
+    are persisted for the query's lifetime so each shuffle chain runs
+    once instead of once per consumer (cand alone feeds the kernel
+    cogroup AND the conv-pair self-join). Values are identical — these
+    are pure plan/pipelining changes."""
     from pboh_spark import resolve, stats
 
     _, gold, anchors, mentions, ns = _seeded_corpus(spark)
-    es = stats.entity_stats(anchors)
-    scalars = stats.corpus_scalars(anchors)
-    lam = stats.with_lambda_potential(stats.cooccurrence(anchors), es, scalars)
-    cand = resolve.mention_candidates(mentions, ns, es, top_k=10)
+    es = stats.entity_stats(anchors).persist()
+    cooc1 = stats.cooccurrence(anchors, min_cocit=1).persist()
+    scalars = stats.corpus_scalars(anchors, cooc=cooc1)
+    lam = stats.with_lambda_potential(cooc1, es, scalars)
+    cand = resolve.mention_candidates(mentions, ns, es, top_k=10).persist()
     return gold, mentions, cand, lam, scalars
 
 

@@ -70,7 +70,7 @@ MAX_DOC = 25  # FewParamsLearning.scala:364
 _FIXED = 1e9  # fixed-point quantum for the order-independent merge
 
 
-def _pl_conv(
+def _pl_prepare(
     ents: np.ndarray,        # (L, K) candidate ids, -1 pad
     rho: np.ndarray,         # (L, K) unary, NEG pad
     logpop: np.ndarray,      # (L, K) log unnormalized popularity
@@ -79,26 +79,19 @@ def _pl_conv(
     gold_idx: np.ndarray,    # (L,) index of gold in candidate row, -1 absent
     c0_map: dict[int, float],  # packed pair -> log_smoothed
     c1_map: dict[int, float],  # packed pair -> lp_sum
-    w: ScorerWeights,
     lam_const: float = LAMBDA_FLOOR,
     ctx: np.ndarray | None = None,  # (L, K) context evidence Σ log(p̃/p̂)
-) -> tuple[float, np.ndarray, int]:
-    """One conversation's pseudolikelihood loss and d/d(f, g, h, b).
-    Pure numpy — unit-testable against central finite differences.
-
-    With ``ctx`` the unary is the full C1 rho, a·rho_prior + b·ctx
-    (ScorerFull.scala:15-104), and ∂φ/∂b = f·ctx is ANALYTIC — the
-    reference resorts to finite differences for b
-    (FewParamsLearning.scala:426-436, commented out as 'very ugly');
-    the affine decomposition makes it exact here. ``a`` is held fixed:
-    φ is linear in (f·a, f·b), so fitting a alongside f is a pure scale
-    degeneracy (the reference fits both anyway and leans on the
-    regularizer to pin it — we drop the redundant coordinate instead).
-    Without ``ctx``, ∂/∂b is identically 0 and b rides its prior."""
+) -> dict:
+    """Weight-INDEPENDENT half of the pseudolikelihood kernel: the λ
+    affine-coefficient probes and the neighbor-sum contractions depend
+    only on the conversation's tensors, never on θ = (f, g, h, b), so a
+    multi-round fit computes them ONCE per conversation and re-evaluates
+    only ``_pl_round`` per round (the r6 optimization; the per-round
+    arithmetic is unchanged, see _pl_conv)."""
     L, K = ents.shape
-    valid = ents >= 0
     if L < 2 or L > MAX_DOC:
-        return 0.0, np.zeros(4), 0
+        return {"skip": True}
+    valid = ents >= 0
     # gold log-pop per neighbor (0.0 when gold is outside the candidate set)
     gold_lp = np.where(
         gold_idx >= 0, logpop[np.arange(L), np.maximum(gold_idx, 0)], 0.0
@@ -118,6 +111,28 @@ def _pl_conv(
     mask = (surfaces[:, None] != surfaces[None, :]).astype(np.float64)
     pair0 = np.einsum("ikj,ij->ik", c0, mask)  # Σ_j c0[i,a,j]
     pair1 = np.einsum("ikj,ij->ik", c1, mask)
+    return {
+        "skip": False,
+        "rho": rho,
+        "ctx": ctx,
+        "pair0": pair0,
+        "pair1": pair1,
+        "valid": valid,
+        "gold_idx": gold_idx,
+        "L": L,
+    }
+
+
+def _pl_round(pre: dict, w: ScorerWeights) -> tuple[float, np.ndarray, int]:
+    """Weight-DEPENDENT half: evaluate loss + analytic ∂(f, g, h, b) at θ
+    from the precomputed contractions. Bit-identical to the former fused
+    kernel — same operations in the same order on the same float64
+    tensors, only hoisted out of the per-round loop."""
+    if pre["skip"]:
+        return 0.0, np.zeros(4), 0
+    rho, ctx = pre["rho"], pre["ctx"]
+    pair0, pair1 = pre["pair0"], pre["pair1"]
+    valid, gold_idx, L = pre["valid"], pre["gold_idx"], pre["L"]
     pw = 2.0 / (L - 1)
     lam_sum = pair0 - w.h * pair1          # Σ_j λ(h)
     unary = w.a * rho + (w.b * ctx if ctx is not None else 0.0)
@@ -153,47 +168,95 @@ def _pl_conv(
     return loss, grads, n
 
 
+def _pl_conv(
+    ents: np.ndarray,
+    rho: np.ndarray,
+    logpop: np.ndarray,
+    surfaces: np.ndarray,
+    gold_ent: np.ndarray,
+    gold_idx: np.ndarray,
+    c0_map: dict[int, float],
+    c1_map: dict[int, float],
+    w: ScorerWeights,
+    lam_const: float = LAMBDA_FLOOR,
+    ctx: np.ndarray | None = None,
+) -> tuple[float, np.ndarray, int]:
+    """One conversation's pseudolikelihood loss and d/d(f, g, h, b).
+    Pure numpy — unit-testable against central finite differences.
+
+    With ``ctx`` the unary is the full C1 rho, a·rho_prior + b·ctx
+    (ScorerFull.scala:15-104), and ∂φ/∂b = f·ctx is ANALYTIC — the
+    reference resorts to finite differences for b
+    (FewParamsLearning.scala:426-436, commented out as 'very ugly');
+    the affine decomposition makes it exact here. ``a`` is held fixed:
+    φ is linear in (f·a, f·b), so fitting a alongside f is a pure scale
+    degeneracy (the reference fits both anyway and leans on the
+    regularizer to pin it — we drop the redundant coordinate instead).
+    Without ``ctx``, ∂/∂b is identically 0 and b rides its prior.
+
+    Composed from the weight-independent ``_pl_prepare`` and the
+    per-θ ``_pl_round`` so that multi-round fits can hoist the former."""
+    return _pl_round(
+        _pl_prepare(
+            ents, rho, logpop, surfaces, gold_ent, gold_idx,
+            c0_map, c1_map, lam_const, ctx=ctx,
+        ),
+        w,
+    )
+
+
+def _conv_tensors(cand: pd.DataFrame, lam: pd.DataFrame):
+    """Pandas → dense per-conversation tensors (shared by the one-shot
+    gradient kernel and the r6 preassembly kernel): returns
+    (ents, rho, logpop, surfaces, gold_ent, gold_idx, c0_map, c1_map,
+    ctx_or_None)."""
+    c0_map, c1_map = {}, {}
+    if len(lam):
+        pk = _pack(
+            lam["e1"].to_numpy(np.int64), lam["e2"].to_numpy(np.int64)
+        )
+        c0_map = dict(zip(pk, lam["log_smoothed"].to_numpy(np.float64)))
+        c1_map = dict(zip(pk, lam["lp_sum"].to_numpy(np.float64)))
+    cand = cand.sort_values(["mention_id", "entity"])
+    mids = cand["mention_id"].unique()
+    L = len(mids)
+    ents_k = cand.groupby("mention_id")["entity"].size()
+    K = int(ents_k.max())
+    ents = np.full((L, K), -1, dtype=np.int64)
+    rho = np.full((L, K), -1.0e30, dtype=np.float64)
+    logpop = np.zeros((L, K), dtype=np.float64)
+    has_ctx = "ctx_evidence" in cand.columns
+    ctx = np.zeros((L, K), dtype=np.float64) if has_ctx else None
+    surfaces = np.empty(L, dtype=object)
+    gold_ent = np.zeros(L, dtype=np.int64)
+    gold_idx = np.full(L, -1, dtype=np.int64)
+    for i, (_, grp) in enumerate(cand.groupby("mention_id", sort=True)):
+        k = len(grp)
+        e = grp["entity"].to_numpy()
+        ents[i, :k] = e
+        rho[i, :k] = grp["rho"].to_numpy()
+        logpop[i, :k] = grp["log_pop"].fillna(0.0).to_numpy(np.float64)
+        if has_ctx:
+            ctx[i, :k] = (
+                grp["ctx_evidence"].fillna(0.0).to_numpy(np.float64)
+            )
+        surfaces[i] = grp["ngram"].iloc[0]
+        ge = int(grp["gold_entity"].iloc[0])
+        gold_ent[i] = ge
+        hit = np.nonzero(e[:k] == ge)[0]
+        if len(hit):
+            gold_idx[i] = int(hit[0])
+    return ents, rho, logpop, surfaces, gold_ent, gold_idx, c0_map, c1_map, ctx
+
+
 def _grad_kernel(w: ScorerWeights, lam_const: float):
     def solve(cand: pd.DataFrame, lam: pd.DataFrame) -> pd.DataFrame:
         cols = ["conv_id", "loss", "g_f", "g_g", "g_h", "g_b", "n_mentions"]
         if cand.empty:
             return pd.DataFrame(columns=cols)
         conv = cand["conv_id"].iloc[0]
-        c0_map, c1_map = {}, {}
-        if len(lam):
-            pk = _pack(
-                lam["e1"].to_numpy(np.int64), lam["e2"].to_numpy(np.int64)
-            )
-            c0_map = dict(zip(pk, lam["log_smoothed"].to_numpy(np.float64)))
-            c1_map = dict(zip(pk, lam["lp_sum"].to_numpy(np.float64)))
-        cand = cand.sort_values(["mention_id", "entity"])
-        mids = cand["mention_id"].unique()
-        L = len(mids)
-        K = int(cand.groupby("mention_id")["entity"].size().max())
-        ents = np.full((L, K), -1, dtype=np.int64)
-        rho = np.full((L, K), -1.0e30, dtype=np.float64)
-        logpop = np.zeros((L, K), dtype=np.float64)
-        has_ctx = "ctx_evidence" in cand.columns
-        ctx = np.zeros((L, K), dtype=np.float64) if has_ctx else None
-        surfaces = np.empty(L, dtype=object)
-        gold_ent = np.zeros(L, dtype=np.int64)
-        gold_idx = np.full(L, -1, dtype=np.int64)
-        for i, (_, grp) in enumerate(cand.groupby("mention_id", sort=True)):
-            k = len(grp)
-            e = grp["entity"].to_numpy()
-            ents[i, :k] = e
-            rho[i, :k] = grp["rho"].to_numpy()
-            logpop[i, :k] = grp["log_pop"].fillna(0.0).to_numpy(np.float64)
-            if has_ctx:
-                ctx[i, :k] = (
-                    grp["ctx_evidence"].fillna(0.0).to_numpy(np.float64)
-                )
-            surfaces[i] = grp["ngram"].iloc[0]
-            ge = int(grp["gold_entity"].iloc[0])
-            gold_ent[i] = ge
-            hit = np.nonzero(e[:k] == ge)[0]
-            if len(hit):
-                gold_idx[i] = int(hit[0])
+        (ents, rho, logpop, surfaces, gold_ent, gold_idx,
+         c0_map, c1_map, ctx) = _conv_tensors(cand, lam)
         loss, g, n = _pl_conv(
             ents, rho, logpop, surfaces, gold_ent, gold_idx,
             c0_map, c1_map, w, lam_const, ctx=ctx,
@@ -205,6 +268,71 @@ def _grad_kernel(w: ScorerWeights, lam_const: float):
         )
 
     return solve
+
+
+PRE_SCHEMA = "conv_id string, blob binary"
+
+
+def _assemble_kernel(lam_const: float):
+    """Cogroup kernel for the ONE-TIME weight-independent preassembly:
+    per conversation, build the dense tensors, run ``_pl_prepare``, and
+    pickle the resulting contractions into a single binary cell."""
+    import pickle
+
+    def assemble(cand: pd.DataFrame, lam: pd.DataFrame) -> pd.DataFrame:
+        if cand.empty:
+            return pd.DataFrame(columns=["conv_id", "blob"])
+        conv = cand["conv_id"].iloc[0]
+        (ents, rho, logpop, surfaces, gold_ent, gold_idx,
+         c0_map, c1_map, ctx) = _conv_tensors(cand, lam)
+        pre = _pl_prepare(
+            ents, rho, logpop, surfaces, gold_ent, gold_idx,
+            c0_map, c1_map, lam_const, ctx=ctx,
+        )
+        return pd.DataFrame(
+            {"conv_id": [conv],
+             "blob": [pickle.dumps(pre, protocol=pickle.HIGHEST_PROTOCOL)]}
+        )
+
+    return assemble
+
+
+def preassembled_convs(
+    cand_gold: DataFrame, conv_lambdas: DataFrame, lam_const: float
+) -> DataFrame:
+    """(conv_id, blob) — the weight-independent per-conversation
+    contractions, computed by the SAME cogrouped exchange shape as
+    ``pseudolikelihood_grads`` but only once per fit instead of once per
+    round. Rounds then re-evaluate ``_pl_round`` over this table (a
+    narrow mapInPandas with no shuffle), so an n-round fit pays one
+    assembly shuffle + n cheap scans rather than n assembly shuffles."""
+    return (
+        cand_gold.groupBy("conv_id")
+        .cogroup(conv_lambdas.groupBy("conv_id"))
+        .applyInPandas(_assemble_kernel(lam_const), PRE_SCHEMA)
+    )
+
+
+def _eval_kernel(w: ScorerWeights):
+    """mapInPandas round kernel: deserialize each conversation's
+    precomputed contractions and evaluate loss/gradients at θ."""
+    import pickle
+
+    def ev(batches):
+        for pdf in batches:
+            rows = []
+            for conv, blob in zip(pdf["conv_id"], pdf["blob"]):
+                loss, g, n = _pl_round(pickle.loads(bytes(blob)), w)
+                rows.append((conv, loss, g[0], g[1], g[2], g[3], n))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "loss", "g_f", "g_g", "g_h", "g_b",
+                    "n_mentions",
+                ],
+            )
+
+    return ev
 
 
 def learning_candidates(
@@ -314,20 +442,30 @@ def learn_weights(
     parallelism (see _merge_round)."""
     w = init or ScorerWeights()
     pr = np.array(priors if priors is not None else (w.f, w.g, w.h, w.b))
-    cand_gold = cand_gold.persist()
-    # checkpoint the (static) lambda table ONCE — per-round checkpointing
-    # would re-materialize the same table n_rounds+1 times. localCheckpoint
-    # persists its blocks itself; layering .persist() on top would hold a
-    # second, columnar copy of the same data
+    # r6: the λ probes and neighbor-sum contractions are weight-
+    # independent, so they are assembled ONCE (one cogrouped exchange —
+    # the shape every round used to pay) and persisted; each round is
+    # then a shuffle-free mapInPandas over the small contraction table.
+    # localCheckpoint on the λ side keeps the cogroup's analysis clean
+    # exactly as before; the persist lives only for the fit's duration.
     conv_lambdas = conv_lambdas.localCheckpoint(eager=False)
+    pre = preassembled_convs(cand_gold, conv_lambdas, lam_const).persist()
+    # the cogroup inherits the full shuffle-partition count; re-reading
+    # 200 near-empty cached partitions per round costs more task/worker
+    # launches than the round's arithmetic. Coalesce the ROUND VIEW to a
+    # rows-derived width (~256 conversations per task, floor 1) — a
+    # narrow dependency over the cache, so nothing is recomputed, and
+    # the quantized integer merge makes the result partitioning-
+    # independent by construction.
+    n_pre = pre.count()
+    parts = max(1, min(pre.rdd.getNumPartitions(), n_pre // 256 + 1))
+    pre_eval = pre.coalesce(parts)
     sq = np.zeros(4)
     history: list[dict] = []
     try:
         for r in range(n_rounds + 1):
             loss, g, n = _merge_round(
-                pseudolikelihood_grads(
-                    cand_gold, conv_lambdas, w, lam_const, checkpoint=False
-                )
+                pre_eval.mapInPandas(_eval_kernel(w), GRAD_SCHEMA)
             )
             theta = np.array([w.f, w.g, w.h, w.b])
             loss -= reg / 2.0 * float(((theta - pr) ** 2).sum())
@@ -348,6 +486,6 @@ def learn_weights(
                 h = -15.0 / gg
             w = replace(w, f=float(f), g=float(gg), h=float(h), b=float(b))
     finally:
-        cand_gold.unpersist()
+        pre.unpersist()
         conv_lambdas.unpersist()
     return w, history

@@ -346,7 +346,13 @@ def generate_anchors(
             else:
                 names.append(uni.sample_alias(rng, int(e)).lower())
     pdf = pd.DataFrame({"doc_id": doc_ids, "name": names, "entity": ents})
-    return spark.createDataFrame(pdf).select(
+    # size partitions to the data: createDataFrame defaults to
+    # defaultParallelism slices, so a few thousand anchor rows fan out
+    # into 32 near-empty tasks in EVERY downstream map stage of the
+    # statistics chain. Content is driver-generated, so partitioning
+    # cannot change any value.
+    parts = max(1, min(spark.sparkContext.defaultParallelism, len(pdf) // 2000 + 1))
+    return spark.createDataFrame(pdf).coalesce(parts).select(
         F.col("doc_id").cast("bigint"),
         F.col("name"),
         F.col("entity").cast("bigint"),
