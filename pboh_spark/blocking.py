@@ -189,7 +189,15 @@ def salt_and_cap(
     from pyspark import StorageLevel
 
     if persist:
-        blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
+        # hash-partition on block_key BEFORE caching: the three consumers
+        # (size agg, salting join, and the downstream pair self-join) all
+        # key on block_key, so they reuse this one exchange instead of
+        # each re-shuffling the cached table — and the union's inflated
+        # partition count (sum of both blocking branches' partitions,
+        # mostly near-empty) collapses to the AQE-coalesced width.
+        blocked = blocked.repartition("block_key").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         _PERSISTED.append(blocked)
     sizes = blocked.groupBy("block_key").agg(F.count("*").alias("block_size"))
     big = sizes.where(F.col("block_size") > cap)

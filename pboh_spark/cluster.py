@@ -45,9 +45,13 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    # symmetric closure once; reused every round
+    # symmetric closure once; reused every round. Partitioned by "v" —
+    # the key every round's label join probes — so the per-round join
+    # reuses this one exchange instead of re-shuffling the edge list
+    # each iteration (the groupBy("u") that follows needs its own
+    # exchange either way).
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.repartition("u").localCheckpoint(eager=True)
+    sym = sym.repartition("v").localCheckpoint(eager=True)
 
     labels = (
         sym.groupBy("u")
@@ -56,7 +60,7 @@ def connected_components(
             F.col("u").alias("id"),
             F.least(F.col("u"), F.col("nmin")).alias("cluster_id"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         neigh = (
@@ -80,6 +84,10 @@ def connected_components(
         parent = stepped.select(
             F.col("id").alias("cluster_id"), F.col("cluster_id").alias("plab")
         )
+        # lazy checkpoint + count in ONE action: the count's job both
+        # materializes the checkpoint blocks (truncating lineage exactly
+        # as the eager form did) and computes the convergence check —
+        # the eager form paid a separate materialization job per round
         new_labels = (
             stepped.join(parent, "cluster_id", "left")
             .select(
@@ -89,7 +97,7 @@ def connected_components(
                 ).alias("new_cluster_id"),
                 "old",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.where(
             F.col("new_cluster_id") != F.col("old")

@@ -94,7 +94,10 @@ _JW_CACHE_MAX = 1_000_000
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-batched JW; memoized on distinct (a,b) pairs in a bounded
     worker-global cache — blocks repeat the same surface-form pairs
-    heavily, within and across batches."""
+    heavily, within and across batches. Eviction is LRU: a batch-level
+    probe re-inserts its hits (dict move-to-end via del+set), so the
+    half dropped on overflow is the least-recently-USED half, not the
+    oldest-inserted (which evicted hot early insertions)."""
     if len(_JW_CACHE) > _JW_CACHE_MAX:
         from itertools import islice
 
@@ -103,8 +106,9 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     pdf = pd.DataFrame({"a": a, "b": b})
     uniq = pdf.drop_duplicates()
     for ra, rb in zip(uniq["a"], uniq["b"]):
-        if (ra, rb) not in _JW_CACHE:
-            _JW_CACHE[(ra, rb)] = jaro_winkler(ra, rb)
+        key = (ra, rb)
+        hit = _JW_CACHE.pop(key, None)
+        _JW_CACHE[key] = jaro_winkler(ra, rb) if hit is None else hit
     return pd.Series(
         [_JW_CACHE[(ra, rb)] for ra, rb in zip(pdf["a"], pdf["b"])],
         dtype=np.float64,
