@@ -1061,8 +1061,14 @@ def _seeded_corpus(spark):
     uni = synth.EntityUniverse()
     transcripts, gold = synth.generate_transcripts(spark, 40, universe=uni)
     anchors = synth.generate_anchors(spark, 800, universe=uni)
-    mentions = extract_mentions(transcripts)
-    ns = stats.name_stats(anchors)
+    # mentions and name_stats are consumed 2-4× by every downstream
+    # pipeline (candidate probe + containment self-join + OOV anti-join
+    # + instance expansion); without a persist each subtree instance
+    # re-runs the synth mapInPandas generation and the stats window —
+    # identical subtrees are NOT deduplicated within one plan (r6,
+    # guide §5 caching: reused AND expensive to recompute)
+    mentions = extract_mentions(transcripts).persist()
+    ns = stats.name_stats(anchors).persist()
     return transcripts, gold, anchors, mentions, ns
 
 

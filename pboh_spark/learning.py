@@ -462,6 +462,12 @@ def learn_weights(
     pre_eval = pre.coalesce(parts)
     sq = np.zeros(4)
     history: list[dict] = []
+    # the round query is a fixed two-stage scan→agg over a cached table;
+    # AQE has nothing to adapt there and its per-query re-optimization
+    # adds measurable latency × n_rounds — scoped off for the loop only
+    spark = cand_gold.sparkSession
+    aqe_prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for r in range(n_rounds + 1):
             loss, g, n = _merge_round(
@@ -486,6 +492,7 @@ def learn_weights(
                 h = -15.0 / gg
             w = replace(w, f=float(f), g=float(gg), h=float(h), b=float(b))
     finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prior)
         pre.unpersist()
         conv_lambdas.unpersist()
     return w, history
