@@ -105,15 +105,22 @@ def corpus_scalars(
     distinct-pair count, saving a second (doc,entity) self-join — the
     dominant cost of this function at scale."""
     doc_sizes = anchors.groupBy("doc_id").agg(F.count("*").alias("n_d"))
-    row = doc_sizes.agg(
+    totals = doc_sizes.agg(
         F.sum("n_d").alias("links"),
         F.sum(F.col("n_d") * (F.col("n_d") - 1)).alias("pairs"),
-    ).collect()[0]
+    )
     # distinct entity pairs (A7) — the reference ran a dedicated 112-core
     # Spark job for this count (EntityCooccurrenceIndex.scala:56-106)
     if cooc is not None:
-        n_dist = cooc.count()
+        # one driver action instead of two: the 1-row totals aggregate and
+        # the distinct-pair count cross-join into a single collected row
+        # (and the job fills the caller's cooc persist as a side effect)
+        row = totals.crossJoin(
+            cooc.agg(F.count("*").alias("n_dist"))
+        ).collect()[0]
+        n_dist = int(row["n_dist"])
     else:
+        row = totals.collect()[0]
         de = anchors.select("doc_id", "entity").distinct()
         n_dist = (
             de.alias("a")
