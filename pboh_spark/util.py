@@ -27,3 +27,24 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def bound_parallelism(df: DataFrame) -> DataFrame:
+    """Scale-relative CAP on a map stage's width (guide §2.2 "fewer,
+    larger map tasks for the stage feeding the shuffle").
+
+    Derived chains (e.g. each blocking branch over a cached mention
+    table) inherit their parent's partition count; when that is far
+    above the session parallelism the stage pays hundreds of near-empty
+    task launches. Coalesce to max(2× defaultParallelism, parts // 4):
+    the merge factor is bounded at 4× (partitions stay within the
+    128 MB–1 GB band the guide targets when they were data-sized) and
+    the width never drops below 2× the core count, so no cluster is
+    left idle. Narrow dependency — nothing is recomputed or shuffled.
+    NOTE: apply BELOW a union/other operator, never directly under a
+    repartition — Catalyst's CollapseRepartition would erase it there.
+    """
+    sc = df.sparkSession.sparkContext
+    parts = df.rdd.getNumPartitions()
+    target = max(2 * sc.defaultParallelism, parts // 4)
+    return df.coalesce(target) if parts > target else df
