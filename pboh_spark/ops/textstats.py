@@ -36,7 +36,7 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
             lambda w: w != F.lit(""),
         )
     ) + F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]+", ""))
-    return ensure_parallelism(docs).select(
+    return ensure_parallelism(docs, trigger_ratio=0.25).select(
         "doc_id",
         F.size(words).alias("n_tokens"),
         bpe_ish.cast("int").alias("n_subwords"),
@@ -71,7 +71,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
         )
     )
-    return ensure_parallelism(docs).select(
+    return ensure_parallelism(docs, trigger_ratio=0.25).select(
         "doc_id",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
@@ -94,7 +94,7 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         hits = F.size(F.filter(words, lambda w: F.array_contains(p, w)))
         scores.append(F.struct((hits / n).alias("s"), F.lit(lang).alias("l")))
     best = F.sort_array(F.array(*scores), asc=False)[0]
-    return ensure_parallelism(docs).select(
+    return ensure_parallelism(docs, trigger_ratio=0.25).select(
         "doc_id",
         F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und")).alias("lang_pred"),
         F.round(best["s"], 6).alias("lang_score"),
@@ -114,4 +114,4 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     fp = F.aggregate(
         wh, F.lit(0).cast("bigint"), lambda acc, h: (acc * 31 + h) % F.lit(p)
     )
-    return ensure_parallelism(docs).select("doc_id", fp.alias("fp64"))
+    return ensure_parallelism(docs, trigger_ratio=0.25).select("doc_id", fp.alias("fp64"))
