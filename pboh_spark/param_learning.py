@@ -257,31 +257,22 @@ def _pgrad_kernel(w: ScorerWeights, lam_const: float):
     return solve
 
 
-def _conv_lambda_eff(
-    cand_gold: DataFrame,
-    lambda_table: DataFrame,
-    lambda_params: DataFrame,
-) -> DataFrame:
-    """Conversation-local effective λ pairs for the gradient kernel:
-    (conv_id, e1, e2, lam_eff, trainable) — the stored table value
-    overridden by the current parameter where one exists. Same
-    distributed shape as resolve.conv_lambda_pairs (distinct conv
-    entities self-join, then ONE keyed probe of the merged table)."""
-    merged = lambda_table.select("e1", "e2", "lambda_potential").join(
-        lambda_params.select("e1", "e2", F.col("w").alias("__w")),
-        ["e1", "e2"], "left",
-    ).select(
-        "e1", "e2",
-        F.coalesce("__w", "lambda_potential").alias("lam_eff"),
-        F.col("__w").isNotNull().alias("trainable"),
-    )
+def _conv_entity_pairs(cand_gold: DataFrame) -> DataFrame:
+    """Parameter-INDEPENDENT half of the conv-pair probe: distinct
+    conversation-local candidate∪gold entities, self-joined into ordered
+    pairs (conv_id, e1, e2). Depends only on ``cand_gold``, so the fit
+    builds it ONCE and reuses it every round — the per-round work in
+    ``_conv_lambda_eff`` is then just the keyed probe of the merged
+    parameter table (guide §1.2: hoist weight-independent work out of
+    the round loop, the same discipline as learning.learn_weights'
+    preassembly)."""
     ce = cand_gold.select("conv_id", "entity").distinct()
     gd = cand_gold.select(
         "conv_id", F.col("gold_entity").alias("entity")
     ).distinct()
     ents = ce.unionByName(gd).distinct()
     a, b = ents.alias("a"), ents.alias("b")
-    pairs = (
+    return (
         a.join(b, "conv_id")
         .where(F.col("a.entity") <= F.col("b.entity"))
         .select(
@@ -289,6 +280,27 @@ def _conv_lambda_eff(
             F.col("a.entity").alias("e1"),
             F.col("b.entity").alias("e2"),
         )
+    )
+
+
+def _conv_lambda_eff(
+    pairs: DataFrame,
+    lambda_table: DataFrame,
+    lambda_params: DataFrame,
+) -> DataFrame:
+    """Conversation-local effective λ pairs for the gradient kernel:
+    (conv_id, e1, e2, lam_eff, trainable) — the stored table value
+    overridden by the current parameter where one exists. ``pairs`` is
+    the hoisted `_conv_entity_pairs` output; this function is only the
+    round-dependent keyed probe of the merged table (same distributed
+    shape as resolve.conv_lambda_pairs)."""
+    merged = lambda_table.select("e1", "e2", "lambda_potential").join(
+        lambda_params.select("e1", "e2", F.col("w").alias("__w")),
+        ["e1", "e2"], "left",
+    ).select(
+        "e1", "e2",
+        F.coalesce("__w", "lambda_potential").alias("lam_eff"),
+        F.col("__w").isNotNull().alias("trainable"),
     )
     return pairs.join(merged, ["e1", "e2"], "inner").select(
         "conv_id", "e1", "e2", "lam_eff", "trainable"
@@ -320,6 +332,10 @@ def learn_param_tables(
     # cand_gold, and shared lineage trips Spark's ambiguous-self-join
     # analysis; fresh lineage also caches the scanned-every-round input
     cand_gold = cand_gold.localCheckpoint()
+    # the conv-pair skeleton depends only on cand_gold: materialize it
+    # once per fit instead of re-running its distinct+union+self-join
+    # every round (only the parameter probe is round-dependent)
+    pairs = _conv_entity_pairs(cand_gold).localCheckpoint()
     rho_p = init_rho_params(cand_gold).localCheckpoint()
     lam_p = init_lambda_params(lambda_table, min_cocit).localCheckpoint()
     history: list[dict] = []
@@ -338,7 +354,7 @@ def learn_param_tables(
             # grouping both on the same conv_id attribute trips Spark's
             # ambiguous-self-join analysis; the rename mints a fresh one
             lam_eff = _conv_lambda_eff(
-                cand_gold, lambda_table, lam_p
+                pairs, lambda_table, lam_p
             ).withColumnRenamed("conv_id", "conv_id_l")
             lam_ck = lam_eff.localCheckpoint(eager=False)
             in_flight = [lam_ck]
@@ -397,6 +413,7 @@ def learn_param_tables(
             in_flight = []
     finally:
         cand_gold.unpersist()  # releases the localCheckpoint blocks
+        pairs.unpersist()
         for stale in in_flight:  # early break or mid-round failure
             stale.unpersist()
     return rho_p, lam_p, history
