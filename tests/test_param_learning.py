@@ -202,6 +202,62 @@ def test_param_fit_flips_planted_surface_and_beats_fewparams(spark):
     assert few_acc == base_acc  # global weights can't fix a per-surface prior
 
 
+def test_conv_pair_skeleton_and_probe_semantics(spark):
+    """r6 internals pin: the fit hoists the parameter-independent
+    conv-pair skeleton (`_conv_entity_pairs`) out of the round loop and
+    leaves only the keyed probe (`_conv_lambda_eff`) per round. The
+    skeleton must enumerate exactly the ordered pairs of each
+    conversation's candidate∪gold entity set (brute-force oracle), and
+    the probe must override the table potential with the parameter value
+    exactly where a parameter row exists (trainable flag matching)."""
+    from pyspark.sql import functions as F
+
+    cand, mentions, lam = _planted_corpus(spark, ["c0", "c1"])
+    gold = mentions.select(
+        "mention_id",
+        F.when(F.col("ngram") == "foo", F.lit(B))
+        .otherwise(F.expr("cast(substring(ngram, 4, 10) as long)"))
+        .alias("gold_entity"),
+    )
+    cg = cand.join(mentions, "mention_id").join(gold, "mention_id").select(
+        "conv_id", "mention_id", "entity", "rho", "log_pop", "ngram",
+        "gold_entity",
+    )
+
+    pairs = param_learning._conv_entity_pairs(cg)
+    got = {(r["conv_id"], r["e1"], r["e2"]) for r in pairs.collect()}
+    pdf = cg.select("conv_id", "entity", "gold_entity").toPandas()
+    expect = set()
+    for conv, grp in pdf.groupby("conv_id"):
+        ents = set(grp["entity"]) | set(grp["gold_entity"])
+        expect |= {
+            (conv, a, b) for a in ents for b in ents if a <= b
+        }
+    assert got == expect
+
+    # probe: only e1 == A gets a parameter row, moved off its init value
+    lam_p = (
+        param_learning.init_lambda_params(lam, min_cocit=4)
+        .where(F.col("e1") == A)
+        .withColumn("w", F.col("w") + 7.5)
+    )
+    eff = param_learning._conv_lambda_eff(pairs, lam, lam_p).collect()
+    assert eff, "probe produced no rows"
+    table_pot = {
+        (r["e1"], r["e2"]): r["lambda_potential"]
+        for r in lam.collect()
+    }
+    for r in eff:
+        key = (r["e1"], r["e2"])
+        assert key in table_pot  # inner probe: only table pairs survive
+        if r["e1"] == A:
+            assert r["trainable"] and r["lam_eff"] == table_pot[key] + 7.5
+        else:
+            assert not r["trainable"] and r["lam_eff"] == table_pot[key]
+    assert any(r["trainable"] for r in eff)
+    assert any(not r["trainable"] for r in eff)
+
+
 def test_param_fit_deterministic_across_partitionings(spark):
     from pyspark.sql import functions as F
 
