@@ -189,26 +189,43 @@ def salt_and_cap(
     shuffle (groupBy block_key) whose result broadcasts back (block-size
     dim is tiny relative to data).
 
-    The input is persisted (memory, spill to disk) because it is scanned
-    twice — once for sizes, once for the salting join — and upstream
-    blocking includes a pandas UDF that must not run twice. In the
-    checkpointed pipeline the stage write supersedes this; for ad-hoc use
-    (bench, notebooks) it halves the blocking cost. Callers that only
-    consume the ``metrics`` side (one scan, salted df discarded) pass
-    ``persist=False`` so no cache entry outlives the call.
+    The input is materialized once (lazy localCheckpoint) because it is
+    scanned twice — once for sizes, once for the salting join — and
+    upstream blocking includes a pandas UDF that must not run twice. In
+    the checkpointed pipeline the stage write supersedes this; for
+    ad-hoc use (bench, notebooks) it halves the blocking cost. Callers
+    that only consume the ``metrics`` side (one scan, salted df
+    discarded) pass ``persist=False`` so no cache entry outlives the
+    call.
     """
-    from pyspark import StorageLevel
-
     if persist:
-        # hash-partition on block_key BEFORE caching: the three consumers
-        # (size agg, salting join, and the downstream pair self-join) all
-        # key on block_key, so they reuse this one exchange instead of
-        # each re-shuffling the cached table — and the union's inflated
-        # partition count (sum of both blocking branches' partitions,
-        # mostly near-empty) collapses to the AQE-coalesced width.
-        blocked = blocked.repartition("block_key").persist(
-            StorageLevel.MEMORY_AND_DISK
+        # hash-partition on block_key BEFORE materializing: the three
+        # consumers (size agg, salting join, and the downstream pair
+        # self-join) all key on block_key, so they reuse this one
+        # exchange instead of each re-shuffling the table — and the
+        # union's inflated partition count (sum of both blocking
+        # branches' partitions, mostly near-empty) collapses first.
+        #
+        # localCheckpoint (lazy) rather than persist (r6): a persisted
+        # DataFrame keeps its FULL logical plan, and every downstream
+        # consumer (self-join aliases a/b, the attribute re-attach, the
+        # size agg) embeds that blocking tree again — Catalyst was
+        # re-analyzing ~12 copies of the union subtree per query build,
+        # ~1-2 s of driver time per pass. The checkpoint truncates the
+        # lineage to a leaf (partitioning preserved), cutting both
+        # analysis and AQE re-optimization cost; same rows, same
+        # storage level (MEMORY_AND_DISK). Trade-off (guide §5): local
+        # checkpoints are not fault-tolerant — an executor loss forces
+        # the query to re-run instead of recomputing the lost blocks.
+        # For a derived blocking table inside one query that is the
+        # right side of the trade at any scale; durable pipelines go
+        # through checkpoint.py stage writes instead.
+        blocked = blocked.repartition("block_key").localCheckpoint(
+            eager=False
         )
+        # kept for reference-dropping: DataFrame.unpersist is a no-op on
+        # a checkpointed frame, but popping the reference lets the
+        # ContextCleaner reclaim the checkpoint RDD's blocks
         _PERSISTED.append(blocked)
     sizes = blocked.groupBy("block_key").agg(F.count("*").alias("block_size"))
     big = sizes.where(F.col("block_size") > cap)
