@@ -42,6 +42,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan (and coalesce) CACHED subtrees too: the default
+        # false pins every persisted table to its build-time partition
+        # count, so small cached intermediates (statistics tables, the
+        # preassembled fit tensors) are re-scanned as dozens of
+        # near-empty tasks by every consumer. Data-adaptive by
+        # construction — at scale AQE sizes the cached partitions to the
+        # advisory byte target instead. Results are partitioning-
+        # independent by repo invariant (determinism sweep re-verified).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
