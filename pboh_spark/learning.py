@@ -313,28 +313,6 @@ def preassembled_convs(
     )
 
 
-def _eval_kernel(w: ScorerWeights):
-    """mapInPandas round kernel: deserialize each conversation's
-    precomputed contractions and evaluate loss/gradients at θ."""
-    import pickle
-
-    def ev(batches):
-        for pdf in batches:
-            rows = []
-            for conv, blob in zip(pdf["conv_id"], pdf["blob"]):
-                loss, g, n = _pl_round(pickle.loads(bytes(blob)), w)
-                rows.append((conv, loss, g[0], g[1], g[2], g[3], n))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "conv_id", "loss", "g_f", "g_g", "g_h", "g_b",
-                    "n_mentions",
-                ],
-            )
-
-    return ev
-
-
 def _quantize(x: float) -> int:
     """Spark's ``round(x · 1e9).cast('long')`` reproduced exactly:
     java.math.BigDecimal.valueOf(d) takes the SHORTEST decimal
